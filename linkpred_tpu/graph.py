@@ -1,0 +1,189 @@
+"""CSR graph container — the TPU-native replacement for the reference's adjacency
+structures.
+
+The reference (`/root/reference/inc/Graph.hxx:23-372`) stores a ``DiGraph`` as one
+``LazyBitset`` (sorted key/value vector with deferred batch updates,
+`inc/_bitset.hxx:24-316`) per vertex, mutated in place under OpenMP.  That design is
+pointer-heavy and mutation-oriented — wrong for XLA.  Here a graph is a frozen pytree of
+padded ``int32`` arrays (the layout the reference defines but never uses:
+``DiGraphCsr``, `inc/Graph.hxx:383-639`):
+
+* ``offsets``  — ``int32[n + 1]`` row starts into ``indices``
+* ``indices``  — ``int32[m_pad]`` neighbor ids, sorted ascending within each row,
+  padded with the sentinel ``n`` so speculative gathers stay in range
+* ``degrees``  — ``int32[n]`` true row lengths (``offsets[i+1] - offsets[i]``)
+* ``weights``  — optional ``float32[m_pad]`` edge values
+
+``n`` and ``m`` are static (Python ints) so jitted functions specialize on graph shape,
+mirroring how the reference specializes via C++ templates.  All mutation is functional:
+builders return new graphs (host-side NumPy — graph construction is I/O-bound and
+happens once per experiment batch, outside the jitted hot path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CSRGraph",
+    "from_edges",
+    "from_dense",
+    "to_dense",
+    "edge_list",
+    "PAD_ALIGN",
+]
+
+# Pad edge arrays to a lane-aligned length so tiled device gathers never mask the tail.
+PAD_ALIGN = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """Immutable CSR graph pytree. Array leaves may be NumPy (host) or JAX (device)."""
+
+    offsets: jax.Array  # int32[n + 1]
+    indices: jax.Array  # int32[m_pad], row-sorted, padded with sentinel ``n``
+    degrees: jax.Array  # int32[n]
+    weights: Optional[jax.Array]  # float32[m_pad] or None
+    n: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+
+    # -- reference-parity accessors (Graph.hxx: span/order/size/degree/hasEdge) --
+    @property
+    def span(self) -> int:
+        """Number of vertex slots (reference ``span()``; vertices are 0..n-1)."""
+        return self.n
+
+    @property
+    def order(self) -> int:
+        """Number of vertices (reference ``order()``)."""
+        return self.n
+
+    @property
+    def size(self) -> int:
+        """Number of directed edges (reference ``size()``)."""
+        return self.m
+
+    @property
+    def m_pad(self) -> int:
+        return int(self.indices.shape[0])
+
+    def degree(self, u: int) -> int:
+        return int(self.degrees[u])
+
+    def neighbors(self, u: int) -> np.ndarray:
+        """Sorted neighbor ids of ``u`` (host helper, not for jit)."""
+        o = np.asarray(self.offsets)
+        return np.asarray(self.indices)[o[u] : o[u + 1]]
+
+    def has_edge(self, u: int, v: int) -> bool:
+        nbrs = self.neighbors(u)
+        j = np.searchsorted(nbrs, v)
+        return bool(j < nbrs.shape[0] and nbrs[j] == v)
+
+    def device(self) -> "CSRGraph":
+        """Move array leaves to the default device as jnp arrays."""
+        return CSRGraph(
+            offsets=jnp.asarray(self.offsets),
+            indices=jnp.asarray(self.indices),
+            degrees=jnp.asarray(self.degrees),
+            weights=None if self.weights is None else jnp.asarray(self.weights),
+            n=self.n,
+            m=self.m,
+        )
+
+    def host(self) -> "CSRGraph":
+        return CSRGraph(
+            offsets=np.asarray(self.offsets),
+            indices=np.asarray(self.indices),
+            degrees=np.asarray(self.degrees),
+            weights=None if self.weights is None else np.asarray(self.weights),
+            n=self.n,
+            m=self.m,
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return f"CSRGraph(n={self.n}, m={self.m}, m_pad={self.m_pad})"
+
+
+def _pad_len(m: int) -> int:
+    return max(PAD_ALIGN, ((m + PAD_ALIGN - 1) // PAD_ALIGN) * PAD_ALIGN)
+
+
+def from_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: Optional[int] = None,
+    weights: Optional[np.ndarray] = None,
+    dedup: bool = True,
+) -> CSRGraph:
+    """Build a CSR graph from directed edge arrays (host, vectorized NumPy).
+
+    Replaces the reference's replay-all-edges + owner-computes parallel insert
+    (`inc/mtx.hxx:179-186`, `inc/_openmp.hxx:16-33`) with a lexsort: sorting by
+    (src, dst) both shards rows and orders neighbors in one O(m log m) pass.
+    Duplicate edges keep the first-seen weight (matching ``LazyBitset`` set
+    semantics, `inc/_bitset.hxx:245-262`).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if src.shape != dst.shape:
+        raise ValueError("src/dst length mismatch")
+    if n is None:
+        n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+    n = int(n)
+    if src.size and (src.min(initial=0) < 0 or int(max(src.max(initial=0), dst.max(initial=0))) >= n):
+        raise ValueError("vertex id out of range")
+
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    w = None if weights is None else np.asarray(weights, dtype=np.float32)[order]
+    if dedup and src.size:
+        keep = np.empty(src.shape[0], dtype=bool)
+        keep[0] = True
+        np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+        src, dst = src[keep], dst[keep]
+        if w is not None:
+            w = w[keep]
+
+    m = int(src.shape[0])
+    degrees = np.bincount(src, minlength=n).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(degrees, out=offsets[1:])
+
+    mp = _pad_len(m)
+    indices = np.full(mp, n, dtype=np.int32)
+    indices[:m] = dst
+    wpad = None
+    if w is not None:
+        wpad = np.zeros(mp, dtype=np.float32)
+        wpad[:m] = w
+    return CSRGraph(offsets=offsets, indices=indices, degrees=degrees, weights=wpad, n=n, m=m)
+
+
+def edge_list(g: CSRGraph) -> tuple[np.ndarray, np.ndarray]:
+    """Directed (src, dst) int64 arrays (host)."""
+    g = g.host()
+    src = np.repeat(np.arange(g.n, dtype=np.int64), np.asarray(g.degrees, dtype=np.int64))
+    dst = np.asarray(g.indices[: g.m], dtype=np.int64)
+    return src, dst
+
+
+def from_dense(a: np.ndarray) -> CSRGraph:
+    """Build from a dense boolean adjacency matrix (test helper)."""
+    src, dst = np.nonzero(np.asarray(a))
+    return from_edges(src, dst, n=a.shape[0])
+
+
+def to_dense(g: CSRGraph) -> np.ndarray:
+    """Dense boolean adjacency (test helper; small graphs only)."""
+    g = g.host()
+    a = np.zeros((g.n, g.n), dtype=bool)
+    src, dst = edge_list(g)
+    a[src, dst] = True
+    return a

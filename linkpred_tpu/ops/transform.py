@@ -1,0 +1,76 @@
+"""Functional graph transforms.
+
+Reference parity: ``symmetrizeOmp`` (`/root/reference/inc/symmetrize.hxx:72-82`),
+``removeSelfLoopsOmpU`` (`inc/selfLoop.hxx:118-124`), ``transposeOmp``
+(`inc/transpose.hxx:44-65`), ``duplicate`` (`inc/duplicate.hxx:98-101`).
+
+The reference mutates adjacency bitsets in parallel under owner-computes sharding;
+here every transform is a pure function producing a new CSR graph via one vectorized
+sort pass (host NumPy — these run once per experiment setup, off the hot path).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph import CSRGraph, from_edges, edge_list
+
+__all__ = [
+    "symmetrize",
+    "remove_self_loops",
+    "add_self_loops",
+    "count_self_loops",
+    "transpose",
+    "duplicate",
+    "duplicate_if",
+]
+
+
+def symmetrize(g: CSRGraph) -> CSRGraph:
+    """Union of the graph and its reverse (reference `symmetrize.hxx:72-82`)."""
+    src, dst = edge_list(g)
+    return from_edges(
+        np.concatenate([src, dst]), np.concatenate([dst, src]), n=g.n,
+        weights=None if g.weights is None else np.concatenate(
+            [np.asarray(g.host().weights[: g.m])] * 2),
+    )
+
+
+def remove_self_loops(g: CSRGraph) -> CSRGraph:
+    """Drop u→u edges (reference `selfLoop.hxx:118-124`)."""
+    return duplicate_if(g, lambda u, v: u != v)
+
+
+def add_self_loops(g: CSRGraph) -> CSRGraph:
+    """Add u→u for every vertex (reference `selfLoop.hxx:15-47`)."""
+    src, dst = edge_list(g)
+    loops = np.arange(g.n, dtype=np.int64)
+    return from_edges(np.concatenate([src, loops]), np.concatenate([dst, loops]), n=g.n)
+
+
+def count_self_loops(g: CSRGraph) -> int:
+    src, dst = edge_list(g)
+    return int(np.count_nonzero(src == dst))
+
+
+def transpose(g: CSRGraph) -> CSRGraph:
+    """Reverse every edge (reference `transpose.hxx:44-65`)."""
+    src, dst = edge_list(g)
+    w = None if g.weights is None else np.asarray(g.host().weights[: g.m])
+    return from_edges(dst, src, n=g.n, weights=w)
+
+
+def duplicate(g: CSRGraph) -> CSRGraph:
+    """Copy (reference `duplicate.hxx:98-101`). CSRGraph is immutable, so this is
+    a cheap structural share; provided for API parity."""
+    return CSRGraph(g.offsets, g.indices, g.degrees, g.weights, g.n, g.m)
+
+
+def duplicate_if(g: CSRGraph, pred) -> CSRGraph:
+    """Filtered copy (reference ``duplicateIfOmpW``, `duplicate.hxx:17-72`).
+
+    ``pred(src, dst) -> bool mask`` is evaluated vectorized on int64 arrays.
+    """
+    src, dst = edge_list(g)
+    keep = np.asarray(pred(src, dst), dtype=bool)
+    w = None if g.weights is None else np.asarray(g.host().weights[: g.m])[keep]
+    return from_edges(src[keep], dst[keep], n=g.n, weights=w)

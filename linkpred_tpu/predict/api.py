@@ -1,0 +1,165 @@
+"""Public link-prediction API.
+
+Mirrors the reference's options/result types and metric entry points
+(`/root/reference/inc/predict.hxx:33-102,503-831`) while routing the computation
+through the TPU tiled scoring engine (`scoring.py`).  jit specialization over
+(metric, cap, k, padded sizes) replaces the reference's C++ template instantiation
+over <MINDEGREE1, MAXFACTOR2, FORCEHEAP, CUSTOMVALUE>.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph import CSRGraph
+from ..utils.timing import measure_duration
+from .metrics import METRICS, get_metric
+from .plan import TilePlan, build_plan
+from .scoring import score_huge_sources_host, score_tiles
+
+__all__ = ["PredictOptions", "PredictResult", "predict_links", "PlanCache"]
+
+_DEFAULT_MAX_EDGES = 1 << 20
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+@dataclasses.dataclass
+class PredictOptions:
+    """Parity with ``PredictLinkOptions<W>`` (`predict.hxx:33-55`).
+
+    ``max_edges=None`` maps the reference's "unbounded" default (-1) to a practical
+    2**20 bound (a truly unbounded top-k has no static shape); pass an explicit
+    value for larger requests.
+    """
+    repeat: int = 1
+    max_edges: Optional[int] = None
+    min_score: float = 0.0
+
+
+@dataclasses.dataclass
+class PredictResult:
+    """Parity with ``PredictLinkResult<K, W>`` (`predict.hxx:65-102`)."""
+    u: np.ndarray          # int32[E] predicted source (u < v)
+    v: np.ndarray          # int32[E] predicted target
+    score: np.ndarray      # float32[E], descending
+    time_ms: float         # total (scoring + ordering), like `predict.hxx:466`
+    scoring_ms: float      # scoring only
+
+    @property
+    def edges(self):
+        """[(u, v, score)] list view, reference-style."""
+        return list(zip(self.u.tolist(), self.v.tolist(), self.score.tolist()))
+
+    def __len__(self) -> int:
+        return int(self.u.shape[0])
+
+
+class PlanCache:
+    """Memoizes tile plans per (graph identity, min_degree1, cap).
+
+    The experiment harness sweeps 9 metrics over the same (graph, threshold) pair
+    (`main.cxx:212-220`); the plan depends only on the graph and threshold, so it is
+    shared across metrics.
+    """
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+
+    def get(self, g: CSRGraph, min_degree1: int, cap: int) -> TilePlan:
+        key = (id(g.offsets), id(g.indices), g.n, g.m, min_degree1, cap)
+        plan = self._cache.get(key)
+        if plan is None:
+            plan = build_plan(g, min_degree1, cap)
+            self._cache[key] = plan
+        return plan
+
+    def clear(self) -> None:
+        self._cache.clear()
+
+
+def predict_links(
+    g: CSRGraph,
+    metric: str = "common_neighbors",
+    min_degree1: int = 4,
+    max_factor2: int = 0,
+    options: Optional[PredictOptions] = None,
+    cap: int = 1 << 20,
+    plan: Optional[TilePlan] = None,
+    plan_cache: Optional[PlanCache] = None,
+) -> PredictResult:
+    """Predict the top-``max_edges`` unobserved links of an undirected graph.
+
+    ``min_degree1`` = 0 is IHub (scan all intermediates); > 0 is LHub (skip hub
+    intermediates with degree above the threshold) — `predict.hxx:227,301`.
+    Defaults mirror the reference template defaults <MINDEGREE1=4, MAXFACTOR2=0>.
+    """
+    spec = get_metric(metric)
+    o = options or PredictOptions()
+    max_edges = _DEFAULT_MAX_EDGES if o.max_edges is None else int(o.max_edges)
+    if max_edges <= 0:
+        # Reference skips the loop entirely when maxEdges == 0 (predict.hxx:367).
+        empty = np.empty(0)
+        return PredictResult(
+            empty.astype(np.int32), empty.astype(np.int32),
+            empty.astype(np.float32), 0.0, 0.0)
+
+    if plan is None:
+        if plan_cache is not None:
+            plan = plan_cache.get(g, min_degree1, cap)
+        else:
+            plan = build_plan(g, min_degree1, cap)
+
+    k = _next_pow2(min(max_edges, max(plan.total_slots, 1)))
+    gd = g.device()
+    wt_table = jnp.asarray(
+        spec.weight_table(np.asarray(g.degrees)) if spec.needs_weight
+        else np.ones(1, dtype=np.float32))
+    fe_src = jnp.asarray(plan.fe_src)
+    fe_mid = jnp.asarray(plan.fe_mid)
+    fe_work = jnp.asarray(plan.fe_work)
+    fe_cnt = jnp.asarray(plan.fe_cnt)
+    tes = jnp.asarray(plan.tile_edge_start)
+    min_score = jnp.float32(o.min_score)
+
+    huge_state = {}
+
+    def run_scoring():
+        top = score_tiles(
+            gd.offsets, gd.indices, gd.degrees, wt_table,
+            fe_src, fe_mid, fe_work, fe_cnt, tes, min_score,
+            metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+        )
+        if plan.huge_src.size:
+            huge_state["res"] = score_huge_sources_host(
+                g, plan.huge_src, spec, min_degree1, max_factor2,
+                o.min_score, k=max_edges,
+            )
+        return top
+
+    ts, top = measure_duration(run_scoring, repeat=o.repeat)
+
+    def finalize():
+        scores = np.asarray(top.scores)
+        us = np.asarray(top.u)
+        vs = np.asarray(top.v)
+        if plan.huge_src.size:
+            hs, hu, hv = huge_state["res"]
+            scores = np.concatenate([scores, hs])
+            us = np.concatenate([us, hu])
+            vs = np.concatenate([vs, hv])
+        valid = np.isfinite(scores)
+        scores, us, vs = scores[valid], us[valid], vs[valid]
+        order = np.argsort(-scores, kind="stable")[:max_edges]
+        return us[order], vs[order], scores[order]
+
+    to, (us, vs, ss) = measure_duration(finalize, repeat=1, warmup=False)
+    return PredictResult(
+        u=us.astype(np.int32), v=vs.astype(np.int32), score=ss.astype(np.float32),
+        time_ms=ts + to, scoring_ms=ts,
+    )

@@ -1,0 +1,134 @@
+"""Graph container, MTX I/O, and transform tests (oracle: NumPy/dense)."""
+import io
+
+import numpy as np
+
+from conftest import random_graph
+
+from linkpred_tpu import from_edges, from_dense, to_dense, edge_list, read_mtx, write_mtx
+from linkpred_tpu.io.mtx import read_mtx_header
+from linkpred_tpu.ops.transform import (
+    add_self_loops, count_self_loops, duplicate, remove_self_loops, symmetrize,
+    transpose,
+)
+
+
+def test_from_edges_sorted_dedup():
+    g = from_edges([2, 0, 0, 1, 0], [1, 2, 1, 0, 1], n=3)
+    assert g.n == 3 and g.m == 4  # (0,1) deduplicated
+    assert g.neighbors(0).tolist() == [1, 2]
+    assert g.degree(0) == 2 and g.degree(1) == 1 and g.degree(2) == 1
+    assert g.has_edge(0, 1) and not g.has_edge(1, 2)
+
+
+def test_dense_roundtrip(rng):
+    a = rng.random((40, 40)) < 0.1
+    g = from_dense(a)
+    np.testing.assert_array_equal(to_dense(g), a)
+
+
+def test_indices_padding_sentinel():
+    g = from_edges([0], [1], n=5)
+    idx = np.asarray(g.indices)
+    assert idx.shape[0] % 128 == 0
+    assert (idx[g.m:] == g.n).all()
+
+
+def test_symmetrize_and_self_loops(rng):
+    a = rng.random((30, 30)) < 0.15
+    g = from_dense(a)
+    gs = symmetrize(g)
+    np.testing.assert_array_equal(to_dense(gs), a | a.T)
+    gl = remove_self_loops(gs)
+    expect = (a | a.T) & ~np.eye(30, dtype=bool)
+    np.testing.assert_array_equal(to_dense(gl), expect)
+    assert count_self_loops(gl) == 0
+    assert count_self_loops(add_self_loops(gl)) == 30
+
+
+def test_transpose(rng):
+    a = rng.random((25, 25)) < 0.2
+    g = from_dense(a)
+    np.testing.assert_array_equal(to_dense(transpose(g)), a.T)
+
+
+def test_duplicate_shares_structure(rng):
+    g = random_graph(rng, 20, 3)
+    d = duplicate(g)
+    assert d.n == g.n and d.m == g.m
+    np.testing.assert_array_equal(np.asarray(d.indices), np.asarray(g.indices))
+
+
+MTX_GENERAL = """%%MatrixMarket matrix coordinate pattern general
+% a comment
+4 4 5
+1 2
+2 1
+1 3
+3 4
+4 4
+"""
+
+MTX_SYMMETRIC = """%%MatrixMarket matrix coordinate real symmetric
+3 3 3
+2 1 1.5
+3 1 2.0
+3 2 0.5
+"""
+
+
+def test_read_mtx_general():
+    g = read_mtx(io.StringIO(MTX_GENERAL))
+    assert g.n == 4 and g.m == 5
+    assert g.has_edge(0, 1) and g.has_edge(1, 0) and g.has_edge(2, 3)
+    assert g.has_edge(3, 3)  # self loop kept at read (main.cxx removes later)
+
+
+def test_read_mtx_symmetric_adds_reverse():
+    g = read_mtx(io.StringIO(MTX_SYMMETRIC))
+    assert g.m == 6
+    assert g.has_edge(0, 1) and g.has_edge(1, 0)
+
+
+def test_read_mtx_weighted():
+    g = read_mtx(io.StringIO(MTX_SYMMETRIC), weighted=True)
+    w = np.asarray(g.weights[: g.m])
+    assert w.shape[0] == 6 and set(np.round(w, 2)) == {1.5, 2.0, 0.5}
+
+
+def test_read_mtx_transform_flags():
+    g = read_mtx(io.StringIO(MTX_GENERAL), symmetrize=True, remove_self_loops=True)
+    assert not g.has_edge(3, 3)
+    assert g.has_edge(3, 2)  # reverse of 3->4 line
+
+
+def test_read_mtx_header():
+    h = read_mtx_header(io.StringIO(MTX_SYMMETRIC))
+    assert h.symmetric and h.rows == 3 and h.size == 3
+
+
+def test_mtx_roundtrip(rng):
+    g = random_graph(rng, 30, 4)
+    buf = io.StringIO()
+    write_mtx(g, buf)
+    g2 = read_mtx(io.StringIO(buf.getvalue()))
+    np.testing.assert_array_equal(to_dense(g2), to_dense(g))
+
+
+def test_edge_list_roundtrip(rng):
+    g = random_graph(rng, 25, 3)
+    src, dst = edge_list(g)
+    g2 = from_edges(src, dst, n=g.n)
+    np.testing.assert_array_equal(to_dense(g2), to_dense(g))
+
+
+def test_graph_pytree_jit(rng):
+    import jax
+
+    g = random_graph(rng, 16, 3).device()
+
+    @jax.jit
+    def total_degree(gr):
+        return gr.degrees.sum()
+
+    assert int(total_degree(g)) == g.m

@@ -1,0 +1,94 @@
+"""Engine-vs-oracle tests for the tiled scoring pipeline (all metrics, IHub+LHub)."""
+import numpy as np
+import pytest
+
+from conftest import powerlaw_graph, random_graph
+from oracle import oracle_scores, oracle_topk_scores
+
+from linkpred_tpu import METRICS, PredictOptions, predict_links
+
+ALL_METRICS = sorted(METRICS)
+
+
+def check_against_oracle(g, metric, min_degree1, max_edges, cap, min_score=0.0,
+                         rtol=1e-5):
+    pairs = oracle_scores(g, metric, min_degree1, min_score=min_score)
+    res = predict_links(
+        g, metric=metric, min_degree1=min_degree1,
+        options=PredictOptions(max_edges=max_edges, min_score=min_score),
+        cap=cap,
+    )
+    expect_n = min(max_edges, len(pairs))
+    assert len(res) == expect_n, f"{metric} D1={min_degree1}: {len(res)} != {expect_n}"
+    # every predicted pair is a valid candidate with the right score
+    for u, v, s in zip(res.u, res.v, res.score):
+        key = (int(u), int(v))
+        assert key in pairs, f"{metric}: spurious pair {key}"
+        assert np.isclose(s, pairs[key], rtol=rtol), (
+            f"{metric}: score mismatch {key}: {s} vs {pairs[key]}")
+    # the selected score multiset is the true top-k (tie-robust)
+    np.testing.assert_allclose(
+        np.sort(res.score)[::-1], oracle_topk_scores(pairs, expect_n), rtol=rtol)
+    # output is sorted descending
+    assert np.all(np.diff(res.score) <= 1e-7)
+
+
+@pytest.mark.parametrize("metric", ALL_METRICS)
+@pytest.mark.parametrize("min_degree1", [0, 4, 64])
+def test_all_metrics_vs_oracle(rng, metric, min_degree1):
+    g = random_graph(rng, n=150, avg_deg=5)
+    check_against_oracle(g, metric, min_degree1, max_edges=10_000, cap=4096)
+
+
+@pytest.mark.parametrize("metric", ["jaccard_coefficient", "adamic_adar"])
+def test_topk_truncation(rng, metric):
+    g = random_graph(rng, n=200, avg_deg=6)
+    check_against_oracle(g, metric, 0, max_edges=25, cap=4096)
+
+
+def test_small_cap_many_tiles(rng):
+    # tiny cap forces dozens of tiles; exactness must not depend on tiling
+    g = random_graph(rng, n=120, avg_deg=5)
+    check_against_oracle(g, "common_neighbors", 0, max_edges=5000, cap=256)
+    check_against_oracle(g, "resource_allocation", 8, max_edges=5000, cap=256)
+
+
+def test_huge_source_fallback(rng):
+    # power-law graph + small cap routes hub sources through the dense fallback
+    g = powerlaw_graph(rng, n=300, m=2000)
+    from linkpred_tpu.predict.plan import build_plan
+    plan = build_plan(g, 0, cap=512)
+    assert plan.huge_src.size > 0, "test should exercise the huge-source path"
+    check_against_oracle(g, "jaccard_coefficient", 0, max_edges=100_000, cap=512)
+    check_against_oracle(g, "adamic_adar", 0, max_edges=50, cap=512)
+
+
+def test_lhub_skips_hubs(rng):
+    g = powerlaw_graph(rng, n=300, m=3000)
+    check_against_oracle(g, "common_neighbors", 2, max_edges=100_000, cap=2048)
+    check_against_oracle(g, "salton_cosine_similarity", 16, max_edges=100_000, cap=2048)
+
+
+def test_min_score_threshold(rng):
+    g = random_graph(rng, n=150, avg_deg=5)
+    check_against_oracle(g, "common_neighbors", 0, max_edges=10_000, cap=4096,
+                         min_score=1.5)
+
+
+def test_max_edges_zero_returns_empty(rng):
+    g = random_graph(rng, n=50, avg_deg=4)
+    res = predict_links(g, options=PredictOptions(max_edges=0))
+    assert len(res) == 0
+
+
+def test_empty_graph():
+    from linkpred_tpu import from_edges
+    g = from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=10)
+    res = predict_links(g, options=PredictOptions(max_edges=10))
+    assert len(res) == 0
+
+
+def test_repeat_timing(rng):
+    g = random_graph(rng, n=80, avg_deg=4)
+    res = predict_links(g, options=PredictOptions(max_edges=100, repeat=3))
+    assert res.time_ms >= res.scoring_ms >= 0.0
