@@ -1,0 +1,56 @@
+"""Headline benchmark: LHub link-prediction rate (edges scored per second).
+
+Mirrors the reference's headline metric — link-prediction rate in |E|/s on a skewed
+web-scale graph (`/root/reference/README.md:9,17`: 38.1 M edges/s, LHub, sk-2005,
+0.1|E| removed, 64 hub threshold is the best-F1 regime). With no network egress we
+use an R-MAT graph with matching power-law skew; rate = |E_directed| / scoring time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_SCALE (default 18), BENCH_METRIC (jaccard_coefficient),
+BENCH_DEG (64), BENCH_REPEAT (3).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    scale = int(os.environ.get("BENCH_SCALE", "18"))
+    metric = os.environ.get("BENCH_METRIC", "jaccard_coefficient")
+    deg = int(os.environ.get("BENCH_DEG", "64"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    baseline_edges_per_s = 38.1e6  # README.md:9 (LHub, sk-2005, 32 threads)
+
+    import numpy as np
+
+    from linkpred_tpu import PredictOptions, predict_links
+    from linkpred_tpu.bench.synth import rmat_graph
+    from linkpred_tpu.ops.batch import apply_batch, generate_edge_deletions, tidy_batch
+
+    g = rmat_graph(scale, edge_factor=16, seed=42)
+
+    # Reference protocol: remove 0.1|E| edges, predict that many back.
+    rng = np.random.default_rng(0)
+    deletions = generate_edge_deletions(rng, g, int(0.1 * g.size / 2), undirected=True)
+    deletions, insertions = tidy_batch(deletions, np.empty((0, 2), np.int64), g)
+    y = apply_batch(g, deletions, insertions)
+
+    res = predict_links(
+        y, metric=metric, min_degree1=deg,
+        options=PredictOptions(repeat=repeat,
+                               max_edges=max(deletions.shape[0] // 2, 1)),
+    )
+    rate = y.size / max(res.scoring_ms / 1e3, 1e-9)
+    print(json.dumps({
+        "metric": f"lhub_{metric}_deg{deg}_rmat{scale}_rate",
+        "value": round(rate, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(rate / baseline_edges_per_s, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

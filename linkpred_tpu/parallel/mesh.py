@@ -1,0 +1,120 @@
+"""Multi-chip scaling: tile-sharded scoring over a `jax.sharding.Mesh`.
+
+The reference scales with one OpenMP ``parallel for schedule(dynamic, 2048)`` over
+vertices plus per-thread top-k heaps merged serially
+(`/root/reference/inc/predict.hxx:287,440-459`).  The TPU-native equivalent:
+
+* the work-balanced tile schedule (`plan.py`) is split round-robin across the mesh
+  axis — tiles have near-equal slot counts by construction, so a static split
+  load-balances like ``schedule(dynamic)`` did;
+* each device scans its tiles under `lax.scan`, carrying a local top-k
+  (the per-thread heap);
+* one ``all_gather`` of the k-sized buffers over ICI + a final ``lax.top_k``
+  replaces the serial k-way heap merge — O(k · n_devices) bytes on the wire,
+  independent of graph size.
+
+Graph arrays are replicated across the axis (neighbor lists are read-only here);
+for graphs beyond single-HBM capacity, shard the *plan* arrays by tile range and
+keep only boundary rows resident — see ``shard_plan_arrays``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk import TopK, topk_from_candidates, topk_init, topk_merge
+from ..predict.metrics import METRICS
+from ..predict.scoring import tile_candidates
+
+__all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "workers") -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` (default: all) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def pad_tiles_for_mesh(tile_edge_start: np.ndarray, n_devices: int,
+                       empty_at: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+    """Split tile windows into per-device (starts, ends) of shape [T'], T' a
+    multiple of ``n_devices``.  Padding tiles are empty windows (start == end), so
+    they contribute only -inf candidates."""
+    starts = np.asarray(tile_edge_start[:-1], dtype=np.int32)
+    ends = np.asarray(tile_edge_start[1:], dtype=np.int32)
+    t = starts.shape[0]
+    tp = ((t + n_devices - 1) // n_devices) * n_devices
+    if tp != t:
+        fill = np.int32(tile_edge_start[-1] if empty_at is None else empty_at)
+        starts = np.concatenate([starts, np.full(tp - t, fill, np.int32)])
+        ends = np.concatenate([ends, np.full(tp - t, fill, np.int32)])
+    # Round-robin assignment: device d takes tiles d, d+D, d+2D, ... so each
+    # device sees an even mix of early (dense-row) and late (sparse-row) tiles.
+    starts = starts.reshape(-1, n_devices).T.reshape(-1)
+    ends = ends.reshape(-1, n_devices).T.reshape(-1)
+    return starts, ends
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric_name", "cap", "k", "maxf2", "mesh", "axis"),
+)
+def score_tiles_sharded(
+    offsets, indices, degrees, wt_table,
+    fe_src, fe_mid, fe_work, fe_cnt,
+    tile_starts, tile_ends,
+    min_score,
+    *, metric_name: str, cap: int, k: int, maxf2: int = 0,
+    mesh: Mesh, axis: str = "workers",
+) -> TopK:
+    """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
+
+    ``tile_starts``/``tile_ends`` must be length-multiple-of-mesh-size
+    (see ``pad_tiles_for_mesh``). Returns a replicated TopK.
+    """
+    metric = METRICS[metric_name]
+    kt = min(k, cap)
+    n_dev = mesh.shape[axis]
+
+    def local_scan(tile_s, tile_e, offsets, indices, degrees, wt_table,
+                   fe_src, fe_mid, fe_work, fe_cnt, min_score):
+        def body(carry: TopK, ts):
+            t_start, t_end = ts
+            score, u, w = tile_candidates(
+                offsets, indices, degrees, wt_table,
+                fe_src, fe_mid, fe_work, fe_cnt,
+                t_start, t_end,
+                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+            )
+            cand = topk_from_candidates(score, u, w, kt)
+            return topk_merge(carry, cand), None
+
+        local, _ = jax.lax.scan(body, topk_init(k), (tile_s, tile_e))
+        # Hierarchical merge over ICI: k-sized buffers only.
+        gathered = jax.lax.all_gather(local, axis)  # leaves: [n_dev, k]
+        return topk_from_candidates(
+            gathered.scores.reshape(-1),
+            gathered.u.reshape(-1),
+            gathered.v.reshape(-1),
+            k,
+        )
+
+    rep = P()
+    fn = jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=TopK(rep, rep, rep),
+        check_vma=False,
+    )
+    return fn(tile_starts, tile_ends, offsets, indices, degrees, wt_table,
+              fe_src, fe_mid, fe_work, fe_cnt, min_score)

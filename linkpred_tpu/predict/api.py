@@ -92,12 +92,18 @@ def predict_links(
     cap: int = 1 << 20,
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
+    mesh=None,
 ) -> PredictResult:
     """Predict the top-``max_edges`` unobserved links of an undirected graph.
 
     ``min_degree1`` = 0 is IHub (scan all intermediates); > 0 is LHub (skip hub
     intermediates with degree above the threshold) — `predict.hxx:227,301`.
     Defaults mirror the reference template defaults <MINDEGREE1=4, MAXFACTOR2=0>.
+
+    ``mesh``: optional 1-D `jax.sharding.Mesh`; when given, tiles are sharded
+    across its axis with a hierarchical top-k merge over ICI (the multi-chip
+    replacement for the reference's per-thread heaps + serial merge,
+    `predict.hxx:440-459`).
     """
     spec = get_metric(metric)
     o = options or PredictOptions()
@@ -128,13 +134,27 @@ def predict_links(
     min_score = jnp.float32(o.min_score)
 
     huge_state = {}
+    if mesh is not None:
+        from ..parallel.mesh import pad_tiles_for_mesh, score_tiles_sharded
+        axis = mesh.axis_names[0]
+        t_starts, t_ends = pad_tiles_for_mesh(
+            plan.tile_edge_start, mesh.shape[axis])
+        t_starts, t_ends = jnp.asarray(t_starts), jnp.asarray(t_ends)
 
     def run_scoring():
-        top = score_tiles(
-            gd.offsets, gd.indices, gd.degrees, wt_table,
-            fe_src, fe_mid, fe_work, fe_cnt, tes, min_score,
-            metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
-        )
+        if mesh is not None:
+            top = score_tiles_sharded(
+                gd.offsets, gd.indices, gd.degrees, wt_table,
+                fe_src, fe_mid, fe_work, fe_cnt, t_starts, t_ends, min_score,
+                metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+                mesh=mesh, axis=axis,
+            )
+        else:
+            top = score_tiles(
+                gd.offsets, gd.indices, gd.degrees, wt_table,
+                fe_src, fe_mid, fe_work, fe_cnt, tes, min_score,
+                metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+            )
         if plan.huge_src.size:
             huge_state["res"] = score_huge_sources_host(
                 g, plan.huge_src, spec, min_degree1, max_factor2,

@@ -5,10 +5,17 @@ sits at the top of conftest (pytest imports it before test modules).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The host image's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; pin the CPU mesh explicitly so unit tests run on
+# 8 virtual CPU devices (fast, deterministic, shard_map-capable).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

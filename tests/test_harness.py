@@ -1,0 +1,179 @@
+"""Experiment harness tests: batch sweep semantics, precision/recall accounting,
+reference log-grammar round-trip, CLI end-to-end."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_graph
+
+from linkpred_tpu.bench.harness import (
+    ALL_DEGREES,
+    ExperimentConfig,
+    common_pair_count,
+    directed_pairs,
+    run_batches,
+    run_experiment,
+)
+from linkpred_tpu.bench.process import read_log, write_csv
+from linkpred_tpu.utils.logging import result_line
+
+
+def community_graph(rng, n_comm=6, size=22, p_in=0.7):
+    """Planted-partition graph: dense communities make removed edges recoverable."""
+    from linkpred_tpu import from_edges
+    from linkpred_tpu.ops.transform import remove_self_loops, symmetrize
+
+    n = n_comm * size
+    blocks = []
+    for c in range(n_comm):
+        base = c * size
+        u, v = np.nonzero(rng.random((size, size)) < p_in)
+        blocks.append(np.stack([base + u, base + v], axis=1))
+    e = np.concatenate(blocks)
+    g = from_edges(e[:, 0], e[:, 1], n=n)
+    return remove_self_loops(symmetrize(g))
+
+
+def test_directed_pairs_expand_sort_unique():
+    pairs = np.array([[3, 1], [0, 2], [3, 1]])
+    out = directed_pairs(pairs, undirected=True)
+    expect = np.array([[0, 2], [1, 3], [2, 0], [3, 1]])
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_common_pair_count():
+    a = np.array([[0, 1], [1, 0], [2, 3]])
+    b = np.array([[1, 0], [2, 3], [4, 5]])
+    assert common_pair_count(a, b) == 2
+    assert common_pair_count(a, np.empty((0, 2), np.int64)) == 0
+
+
+def test_run_batches_schedule(rng):
+    g = random_graph(rng, n=100, avg_deg=5)
+    calls = []
+    cfg = ExperimentConfig(
+        repeat_batch=2, batch_length=1,
+        deletions_begin=1e-2, deletions_end=1e-1, deletions_step=10.0)
+    run_batches(g, rng, lambda y, d, dels, i, ins, seq, ep: calls.append((d, ep)),
+                cfg)
+    # fractions 1e-2 and 1e-1, each repeated twice (main.cxx:158-177)
+    assert [c[0] for c in calls] == [1e-2, 1e-2, 1e-1, 1e-1]
+    assert [c[1] for c in calls] == [0, 0, 1, 1]
+
+
+def test_batch_update_removes_edges(rng):
+    from linkpred_tpu.ops.batch import apply_batch, generate_edge_deletions, tidy_batch
+
+    g = random_graph(rng, n=100, avg_deg=6)
+    deletions = generate_edge_deletions(rng, g, g.size // 10, undirected=True)
+    deletions, ins = tidy_batch(deletions, np.empty((0, 2), np.int64), g)
+    y = apply_batch(g, deletions, ins)
+    assert y.size == g.size - deletions.shape[0]
+    for u, v in deletions[:20]:
+        assert not y.has_edge(int(u), int(v))
+
+
+def test_run_experiment_recovers_planted_edges(rng):
+    g = community_graph(rng)
+    lines = []
+    cfg = ExperimentConfig(
+        repeat_batch=1, repeat_method=1,
+        deletions_begin=0.05, deletions_end=0.05,
+        metrics=("common_neighbors", "jaccard_coefficient"),
+        degrees=(0, 64), seed=1, cap=1 << 14)
+    rows = run_experiment(g, cfg, emit=lines.append)
+    assert len(rows) == len(lines) == 2 * 2
+    for row in rows:
+        assert 0.0 <= row["precision"] <= 1.0
+        assert 0.0 <= row["recall"] <= 1.0
+        assert row["total_time"] >= row["scoring_time"] >= 0.0
+    # dense communities: similarity metrics must beat chance clearly
+    best = max(r["recall"] for r in rows)
+    assert best > 0.15, f"recall suspiciously low: {best}"
+
+
+def test_result_line_grammar_roundtrip(tmp_path):
+    line = result_line(0.0, 1e-3, 8, 1234.5, 1000.25, 0.125, 0.5,
+                       "predictLinksJaccardCoefficientTpu64")
+    log_path = tmp_path / "test.log"
+    log_path.write_text(
+        "2026-08-16 12:00:00 OMP_NUM_THREADS=8\n"
+        "2026-08-16 12:00:00 Loading graph /data/web-Stanford.mtx ...\n"
+        "2026-08-16 12:00:01 order: 281903 size: 3985272 [directed] {}\n"
+        + line + "\n")
+    data = read_log(str(log_path))
+    assert "web-Stanford" in data
+    (row,) = data["web-Stanford"]
+    assert row["omp_num_threads"] == 8
+    assert row["order"] == 281903 and row["size"] == 3985272
+    assert row["batch_insertions_fraction"] == pytest.approx(1e-3)
+    assert row["num_threads"] == 8
+    assert row["total_time"] == pytest.approx(1234.5)
+    assert row["scoring_time"] == pytest.approx(1000.2, abs=0.1)
+    assert row["precision"] == pytest.approx(0.125)
+    assert row["recall"] == pytest.approx(0.5)
+    assert row["technique"] == "predictLinksJaccardCoefficientTpu64"
+
+
+def test_reference_processjs_parses_our_log(tmp_path):
+    """The actual reference post-processor must ingest our log unchanged."""
+    import shutil
+    import subprocess
+
+    node = shutil.which("node")
+    if node is None:
+        pytest.skip("node not available")
+    log_path = tmp_path / "run.log"
+    log_path.write_text(
+        "2026-08-16 12:00:00 OMP_NUM_THREADS=1\n"
+        "2026-08-16 12:00:00 Loading graph /tmp/toy.mtx ...\n"
+        "2026-08-16 12:00:01 order: 10 size: 20 [directed] {}\n"
+        + result_line(0.0, 1e-2, 1, 10.0, 8.0, 0.25, 0.75, "predictLinksCommonNeighborsTpu0")
+        + "\n")
+    out_csv = tmp_path / "out.csv"
+    subprocess.run(
+        [node, "/root/reference/process.js", "csv", str(log_path), str(out_csv)],
+        check=True, capture_output=True)
+    text = out_csv.read_text()
+    assert "predictLinksCommonNeighborsTpu0" in text
+    assert '"0.25"' in text and '"0.75"' in text
+
+
+def test_write_csv(tmp_path):
+    rows = [dict(a=1, b="x"), dict(a=2, b="y")]
+    p = tmp_path / "t.csv"
+    write_csv(str(p), rows)
+    lines = p.read_text().strip().split("\n")
+    assert lines[0] == "a,b"
+    assert lines[1] == '"1","x"'
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from linkpred_tpu import from_edges, write_mtx
+    from linkpred_tpu.cli import main
+
+    rng = np.random.default_rng(3)
+    g = community_graph(rng, n_comm=4, size=15, p_in=0.6)
+    mtx = tmp_path / "toy.mtx"
+    write_mtx(g, str(mtx))
+
+    rc = main([str(mtx), "1", "0",
+               "--metrics", "cn,aa",
+               "--degrees", "0,32",
+               "--repeat-batch", "1", "--repeat-method", "1",
+               "--deletions-begin", "0.05", "--deletions-end", "0.05",
+               "--seed", "7", "--cap", str(1 << 14)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    log_path = tmp_path / "cli.log"
+    log_path.write_text(out)
+    data = read_log(str(log_path))
+    assert "toy" in data
+    rows = data["toy"]
+    assert len(rows) == 4  # 2 metrics x 2 degrees
+    techniques = {r["technique"] for r in rows}
+    assert "predictLinksCommonNeighborsTpu0" in techniques
+    assert "predictLinksAdamicAdarCoefficientTpu32" in techniques
+    assert all(r["order"] == g.n for r in rows)

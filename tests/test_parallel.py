@@ -1,0 +1,70 @@
+"""Multi-device sharded scoring tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+from conftest import powerlaw_graph, random_graph
+from oracle import oracle_scores, oracle_topk_scores
+
+from linkpred_tpu import PredictOptions, predict_links
+from linkpred_tpu.parallel.mesh import make_mesh, pad_tiles_for_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(8)
+
+
+def test_pad_tiles_for_mesh_roundrobin():
+    tes = np.array([0, 5, 9, 12, 12], dtype=np.int32)  # 4 tiles, last empty
+    starts, ends = pad_tiles_for_mesh(tes, n_devices=3)
+    assert starts.shape == ends.shape == (6,)
+    # every original window present exactly once
+    got = sorted(zip(starts.tolist(), ends.tolist()))
+    assert sorted([(0, 5), (5, 9), (9, 12), (12, 12)] + [(12, 12)] * 2) == got
+    # padding windows are empty
+    assert np.all(starts <= ends)
+
+
+@pytest.mark.parametrize("metric,deg", [
+    ("common_neighbors", 0),
+    ("jaccard_coefficient", 4),
+    ("adamic_adar", 0),
+])
+def test_sharded_matches_oracle(rng, mesh8, metric, deg):
+    g = random_graph(rng, n=150, avg_deg=5)
+    pairs = oracle_scores(g, metric, deg)
+    res = predict_links(
+        g, metric=metric, min_degree1=deg,
+        options=PredictOptions(max_edges=10_000), cap=1024, mesh=mesh8)
+    assert len(res) == min(10_000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(res.score)[::-1], oracle_topk_scores(pairs, len(res)), rtol=1e-5)
+
+
+def test_sharded_matches_single_device(rng, mesh8):
+    g = powerlaw_graph(rng, n=250, m=2000)
+    kwargs = dict(metric="salton_cosine_similarity", min_degree1=16,
+                  options=PredictOptions(max_edges=500), cap=2048)
+    single = predict_links(g, **kwargs)
+    sharded = predict_links(g, mesh=mesh8, **kwargs)
+    assert len(single) == len(sharded)
+    np.testing.assert_allclose(
+        np.sort(single.score), np.sort(sharded.score), rtol=1e-6)
+
+
+def test_sharded_topk_truncation(rng, mesh8):
+    g = random_graph(rng, n=200, avg_deg=6)
+    pairs = oracle_scores(g, "sorensen_index", 0)
+    res = predict_links(
+        g, metric="sorensen_index", min_degree1=0,
+        options=PredictOptions(max_edges=25), cap=1024, mesh=mesh8)
+    assert len(res) == 25
+    np.testing.assert_allclose(
+        np.sort(res.score)[::-1], oracle_topk_scores(pairs, 25), rtol=1e-5)
