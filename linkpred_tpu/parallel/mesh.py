@@ -27,9 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import TopK, topk_from_candidates, topk_init, topk_merge
+from ..ops.topk import TopK, topk_from_candidates
 from ..predict.metrics import METRICS
-from ..predict.scoring import tile_candidates
 
 __all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded"]
 
@@ -44,61 +43,84 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "workers") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def pad_tiles_for_mesh(tile_edge_start: np.ndarray, n_devices: int,
-                       empty_at: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
-    """Split tile windows into per-device (starts, ends) of shape [T'], T' a
-    multiple of ``n_devices``.  Padding tiles are empty windows (start == end), so
-    they contribute only -inf candidates."""
+def pad_tiles_for_mesh(
+    tile_edge_start: np.ndarray, n_devices: int,
+    tile_src_start: Optional[np.ndarray] = None,
+    empty_at: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split tile windows into per-device (starts, ends, src_starts) of shape
+    [T'], T' a multiple of ``n_devices``.  Padding tiles are empty windows
+    (start == end), so they skip via the scan's `lax.cond`."""
     starts = np.asarray(tile_edge_start[:-1], dtype=np.int32)
     ends = np.asarray(tile_edge_start[1:], dtype=np.int32)
+    if tile_src_start is None:
+        srcs = np.zeros_like(starts)
+    else:
+        srcs = np.asarray(tile_src_start[:-1], dtype=np.int32)
     t = starts.shape[0]
     tp = ((t + n_devices - 1) // n_devices) * n_devices
     if tp != t:
         fill = np.int32(tile_edge_start[-1] if empty_at is None else empty_at)
         starts = np.concatenate([starts, np.full(tp - t, fill, np.int32)])
         ends = np.concatenate([ends, np.full(tp - t, fill, np.int32)])
+        srcs = np.concatenate([srcs, np.full(tp - t, srcs[-1] if t else 0, np.int32)])
     # Round-robin assignment: device d takes tiles d, d+D, d+2D, ... so each
     # device sees an even mix of early (dense-row) and late (sparse-row) tiles.
     starts = starts.reshape(-1, n_devices).T.reshape(-1)
     ends = ends.reshape(-1, n_devices).T.reshape(-1)
-    return starts, ends
+    srcs = srcs.reshape(-1, n_devices).T.reshape(-1)
+    return starts, ends, srcs
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric_name", "cap", "k", "maxf2", "mesh", "axis"),
+    static_argnames=("metric_name", "cap", "k", "maxf2", "w_bits", "mesh", "axis"),
 )
 def score_tiles_sharded(
     offsets, indices, degrees, wt_table,
-    fe_src, fe_mid, fe_work, fe_cnt,
-    tile_starts, tile_ends,
+    stream,
+    tile_starts, tile_ends, tile_srcs,
     min_score,
-    *, metric_name: str, cap: int, k: int, maxf2: int = 0,
+    *, metric_name: str, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     mesh: Mesh, axis: str = "workers",
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
 
-    ``tile_starts``/``tile_ends`` must be length-multiple-of-mesh-size
-    (see ``pad_tiles_for_mesh``). Returns a replicated TopK.
+    ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when ``w_bits > 0`` (packed
+    path) else ``(fe_src, fe_mid, fe_work, fe_cnt)`` — see `plan.py`.
+    ``tile_starts``/``tile_ends``/``tile_srcs`` must be length-multiple-of-mesh-
+    size (see ``pad_tiles_for_mesh``). Returns a replicated TopK.
     """
+    from ..predict.scoring import (
+        scan_tiles, tile_candidates, tile_candidates_packed)
+
     metric = METRICS[metric_name]
-    kt = min(k, cap)
-    n_dev = mesh.shape[axis]
 
-    def local_scan(tile_s, tile_e, offsets, indices, degrees, wt_table,
-                   fe_src, fe_mid, fe_work, fe_cnt, min_score):
-        def body(carry: TopK, ts):
-            t_start, t_end = ts
-            score, u, w = tile_candidates(
-                offsets, indices, degrees, wt_table,
-                fe_src, fe_mid, fe_work, fe_cnt,
-                t_start, t_end,
-                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
-            )
-            cand = topk_from_candidates(score, u, w, kt)
-            return topk_merge(carry, cand), None
+    def local_scan(tile_s, tile_e, tile_src, offsets, indices, degrees, wt_table,
+                   stream, min_score):
+        if w_bits:
+            slot_adr, slot_keyhi, slot_mid = stream
 
-        local, _ = jax.lax.scan(body, topk_init(k), (tile_s, tile_e))
+            def stream_fn(t_start, t_end, t_src):
+                return tile_candidates_packed(
+                    indices, degrees, wt_table,
+                    slot_adr, slot_keyhi, slot_mid,
+                    t_start, t_end, t_src,
+                    metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+                    w_bits=w_bits,
+                )
+        else:
+            fe_src, fe_mid, fe_work, fe_cnt = stream
+
+            def stream_fn(t_start, t_end, t_src):
+                return tile_candidates(
+                    offsets, indices, degrees, wt_table,
+                    fe_src, fe_mid, fe_work, fe_cnt,
+                    t_start, t_end, t_src,
+                    metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+                )
+
+        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, k)
         # Hierarchical merge over ICI: k-sized buffers only.
         gathered = jax.lax.all_gather(local, axis)  # leaves: [n_dev, k]
         return topk_from_candidates(
@@ -112,9 +134,11 @@ def score_tiles_sharded(
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        in_specs=(P(axis), P(axis), P(axis),
+                  rep, rep, rep, rep,
+                  jax.tree.map(lambda _: rep, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )
-    return fn(tile_starts, tile_ends, offsets, indices, degrees, wt_table,
-              fe_src, fe_mid, fe_work, fe_cnt, min_score)
+    return fn(tile_starts, tile_ends, tile_srcs, offsets, indices, degrees,
+              wt_table, stream, min_score)

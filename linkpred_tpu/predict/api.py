@@ -126,34 +126,40 @@ def predict_links(
     wt_table = jnp.asarray(
         spec.weight_table(np.asarray(g.degrees)) if spec.needs_weight
         else np.ones(1, dtype=np.float32))
-    fe_src = jnp.asarray(plan.fe_src)
-    fe_mid = jnp.asarray(plan.fe_mid)
-    fe_work = jnp.asarray(plan.fe_work)
-    fe_cnt = jnp.asarray(plan.fe_cnt)
-    tes = jnp.asarray(plan.tile_edge_start)
+    w_bits = plan.w_bits if plan.packed else 0
+    if plan.packed:
+        stream = (jnp.asarray(plan.slot_adr), jnp.asarray(plan.slot_keyhi),
+                  jnp.asarray(plan.slot_mid))
+    else:
+        stream = (jnp.asarray(plan.fe_src), jnp.asarray(plan.fe_mid),
+                  jnp.asarray(plan.fe_work), jnp.asarray(plan.fe_cnt))
+    tile_start = jnp.asarray(plan.tile_start)
+    tss = jnp.asarray(plan.tile_src_start)
     min_score = jnp.float32(o.min_score)
 
     huge_state = {}
     if mesh is not None:
         from ..parallel.mesh import pad_tiles_for_mesh, score_tiles_sharded
         axis = mesh.axis_names[0]
-        t_starts, t_ends = pad_tiles_for_mesh(
-            plan.tile_edge_start, mesh.shape[axis])
-        t_starts, t_ends = jnp.asarray(t_starts), jnp.asarray(t_ends)
+        t_starts, t_ends, t_srcs = pad_tiles_for_mesh(
+            plan.tile_start, mesh.shape[axis], plan.tile_src_start)
+        t_starts, t_ends, t_srcs = (
+            jnp.asarray(t_starts), jnp.asarray(t_ends), jnp.asarray(t_srcs))
 
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded(
-                gd.offsets, gd.indices, gd.degrees, wt_table,
-                fe_src, fe_mid, fe_work, fe_cnt, t_starts, t_ends, min_score,
+                gd.offsets, gd.indices, gd.degrees, wt_table, stream,
+                t_starts, t_ends, t_srcs, min_score,
                 metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
-                mesh=mesh, axis=axis,
+                w_bits=w_bits, mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
-                gd.offsets, gd.indices, gd.degrees, wt_table,
-                fe_src, fe_mid, fe_work, fe_cnt, tes, min_score,
+                gd.offsets, gd.indices, gd.degrees, wt_table, stream,
+                tile_start, tss, min_score,
                 metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+                w_bits=w_bits,
             )
         if plan.huge_src.size:
             huge_state["res"] = score_huge_sources_host(

@@ -8,24 +8,39 @@ shapes, so we *precompute* a balanced schedule on the host:
    passes the LHub hub mask ``deg(mid) <= min_degree1`` (`predict.hxx:301`) and has
    work to do (``deg(mid) > 0``).  Each such edge expands into ``deg(mid)`` candidate
    slots — the innermost loop of `predict.hxx:154-179`.
-2. Append one *pseudo edge* (u → u) per active source.  Its slots enumerate N(u) with
-   a large negative count, so after the sort + segmented reduction every first-order
-   pair's run total goes negative and is dropped — the sort-native equivalent of the
-   reference's "zero out self + 1-hop" pass (`predict.hxx:306-307`), with no per-slot
-   binary search.
+2. Append one *pseudo edge* (u → u) per active source.  Its slots enumerate N(u)
+   flagged as *killers*; killers sort ahead of real slots inside a candidate run, so
+   any (u, w) run led by a killer is dead — the sort-native equivalent of the
+   reference's "zero out self + 1-hop" pass (`predict.hxx:306-307`).
 3. Partition sources into tiles of total slot count <= ``cap``, aligned to source
    boundaries so every (u, w) pair reduces inside exactly one tile (exact counts —
    the analog of per-thread-private scratch).
 4. Sources whose slot count alone exceeds ``cap`` ("huge" hubs) are routed to a dense
-   scatter-add fallback (`linkpred_tpu.predict.scoring.score_huge_sources`).
+   scatter-add fallback (`linkpred_tpu.predict.scoring.score_huge_sources_host`).
 
-The plan depends on (graph, min_degree1, cap) only; planning is vectorized NumPy,
-O(m log m), and sits outside the timed scoring path (like the reference's hashtable
-allocation, `predict.hxx:414-424`).
+**Two device-side execution formats** (static choice per plan):
+
+* **Packed slot stream** (``packed=True``, the fast path): the full expansion is
+  precomputed on the host as per-slot arrays — ``slot_adr`` (index into the CSR
+  ``indices`` array) and ``slot_keyhi`` (``u_local << (w_bits+1) | real_flag``, the
+  high bits of the per-slot sort key).  The device does one dynamic-slice per tile,
+  one neighbor gather, one single-operand uint32 sort, and one max-scan — no
+  cumsum/scatter slot mapping on device, no sort payloads for count metrics (the
+  common-neighbor count is the run *length*).  Used when the tile source span fits
+  the key's high bits and the slot count fits ``slot_budget``.
+* **Edge stream** (``packed=False``): per-edge arrays only; the device reconstructs
+  the slot->edge mapping with cumsum + scatter + max-scan and sorts (u, w) as two
+  int32 keys.  Memory-light — used for IHub-scale expansions (slot counts beyond
+  ``slot_budget``, e.g. min_degree1=0 on web graphs) and very wide vertex-ID ranges.
+
+The plan depends on (graph, min_degree1, cap) only; planning is vectorized NumPy and
+sits outside the timed scoring path (like the reference's hashtable allocation,
+`predict.hxx:414-424`).
 """
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -33,9 +48,13 @@ from ..graph import CSRGraph
 
 __all__ = ["TilePlan", "build_plan", "KILL"]
 
-# Count contribution of a killer slot; any run containing one goes negative.
-# Real contributions per run are bounded by max degree < 2**30.
+# Count contribution of a killer slot in the edge-stream path; any run containing
+# one goes negative. Real contributions per run are bounded by max degree < 2**30.
 KILL = -(1 << 30)
+
+# Default ceiling on precomputed slots (packed path): 2**28 slots ≈ 3 GB host +
+# device for the three int32 arrays. Beyond this, fall back to the edge stream.
+SLOT_BUDGET = 1 << 28
 
 
 def _next_pow2(x: int) -> int:
@@ -44,28 +63,43 @@ def _next_pow2(x: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class TilePlan:
-    # Filtered first-hop edges + pseudo killer edges (sorted by source), padded:
+    # Edge stream (always built; the packed path uses it only for planning):
     fe_src: np.ndarray    # int32[M1_pad] source vertex per edge
     fe_mid: np.ndarray    # int32[M1_pad] intermediate vertex (== src for killers)
     fe_work: np.ndarray   # int32[M1_pad] = deg(mid); 0 in padding
     fe_cnt: np.ndarray    # int32[M1_pad] per-slot count contribution: +1 or KILL
     tile_edge_start: np.ndarray  # int32[T_pad + 1]; tile t covers edges [t, t+1)
+    tile_src_start: np.ndarray   # int32[T_pad + 1]; first source vertex of tile t
     cap: int              # static slot budget per tile
     num_tiles: int        # true tile count (<= T_pad)
     huge_src: np.ndarray  # int64[H] sources routed to the dense fallback
     total_slots: int      # expansion slots across tiles (incl. killer slots)
     huge_slots: int       # expansion slots routed to the huge-source path
+    w_bits: int           # width of the w field in the packed sort key
+    packed: bool          # True => slot stream precomputed (fast path)
+    # Packed slot stream (None unless packed):
+    slot_adr: Optional[np.ndarray] = None    # int32[S_pad] index into `indices`
+    slot_keyhi: Optional[np.ndarray] = None  # int32[S_pad] u_local<<(w_bits+1)|real
+    slot_mid: Optional[np.ndarray] = None    # int32[S_pad] intermediate vertex
+    tile_slot_start: Optional[np.ndarray] = None  # int32[T_pad + 1]
 
     @property
     def num_tiles_padded(self) -> int:
         return int(self.tile_edge_start.shape[0]) - 1
 
+    @property
+    def tile_start(self) -> np.ndarray:
+        """Per-tile stream offsets for the active path."""
+        return self.tile_slot_start if self.packed else self.tile_edge_start
+
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
-               pad_tiles_pow2: bool = True) -> TilePlan:
+               pad_tiles_pow2: bool = True,
+               slot_budget: int = SLOT_BUDGET) -> TilePlan:
     g = g.host()
     n = g.n
     deg = np.asarray(g.degrees, dtype=np.int64)
+    offsets64 = np.asarray(g.offsets, dtype=np.int64)
     indices = np.asarray(g.indices, dtype=np.int64)
 
     src = np.repeat(np.arange(n, dtype=np.int64), deg)
@@ -82,12 +116,12 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     uniq = np.unique(src)
     src = np.concatenate([src, uniq])
     mid = np.concatenate([mid, uniq])
-    cnt = np.concatenate([
-        np.ones(src.shape[0] - uniq.shape[0], dtype=np.int32),
-        np.full(uniq.shape[0], KILL, dtype=np.int32),
+    real = np.concatenate([
+        np.ones(src.shape[0] - uniq.shape[0], dtype=bool),
+        np.zeros(uniq.shape[0], dtype=bool),
     ])
     order = np.lexsort((mid, src))
-    src, mid, cnt = src[order], mid[order], cnt[order]
+    src, mid, real = src[order], mid[order], real[order]
     work = deg[mid]
 
     # Per-source slot counts; sources too big for one tile go to the dense path.
@@ -96,12 +130,19 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     huge_slots = int(w_u[huge_src].sum())
     if huge_src.size:
         not_huge = ~np.isin(src, huge_src)
-        src, mid, cnt, work = src[not_huge], mid[not_huge], cnt[not_huge], work[not_huge]
+        src, mid, real, work = src[not_huge], mid[not_huge], real[not_huge], work[not_huge]
         w_u = w_u.copy()
         w_u[huge_src] = 0
 
     m1 = src.shape[0]
     total_slots = int(work.sum())
+
+    # Packed-key sort (scoring.py): key = u_local << (w_bits+1) | w << 1 | real.
+    # A tile's source-ID span must fit the high bits (top rank reserved for pads).
+    w_bits = max(int(n).bit_length(), 1)
+    u_bits = 31 - w_bits
+    packed = u_bits >= 8 and total_slots <= slot_budget
+    span_max = (1 << u_bits) - 2 if packed else n
 
     # Source-aligned greedy partition: tile boundaries at row starts, each tile's
     # slot total <= cap.  The Python loop runs num_tiles times (small).
@@ -110,20 +151,29 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     row_edge_start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(src, minlength=n), out=row_edge_start[1:])
 
-    bounds = [0]
+    starts, ends = [], []
     b = 0
     while row_prefix[b] < total_slots:
-        nb = int(np.searchsorted(row_prefix, row_prefix[b] + cap, side="right")) - 1
-        if nb <= b:  # defensive; cannot happen since per-source work <= cap
-            nb = b + 1
-        bounds.append(nb)
+        # first source >= b with any slots (skip inactive ranges so the span
+        # bound never manufactures empty tiles)
+        a = int(np.searchsorted(row_prefix, row_prefix[b], side="right")) - 1
+        a = max(a, b)
+        nb = int(np.searchsorted(row_prefix, row_prefix[a] + cap, side="right")) - 1
+        nb = min(nb, a + span_max)
+        if nb <= a:  # defensive; cannot happen since per-source work <= cap
+            nb = a + 1
+        starts.append(a)
+        ends.append(nb)
         b = nb
-    num_tiles = max(len(bounds) - 1, 1)
+    num_tiles = max(len(starts), 1)
     t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
-    edge_bounds = row_edge_start[np.asarray(bounds, dtype=np.int64)]
     tile_edge_start = np.full(t_pad + 1, m1, dtype=np.int32)
-    tile_edge_start[: len(bounds)] = edge_bounds
-    if len(bounds) == 1:  # empty stream: single all-padding tile
+    tile_src_start = np.full(t_pad + 1, max(n - 1, 0), dtype=np.int32)
+    if starts:
+        bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
+        tile_edge_start[: num_tiles + 1] = row_edge_start[bounds]
+        tile_src_start[: num_tiles] = np.asarray(starts, dtype=np.int32)
+    else:  # empty stream: single all-padding tile
         tile_edge_start[:] = 0
 
     # Pad edge arrays so every tile can read a full cap-sized window, rounded to a
@@ -136,7 +186,33 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     fe_src[:m1] = src
     fe_mid[:m1] = mid
     fe_work[:m1] = work
-    fe_cnt[:m1] = cnt
+    fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
+
+    slot_adr = slot_keyhi = slot_mid = tile_slot_start = None
+    if packed and starts:
+        # --- host-side slot expansion (one np.repeat pass over the stream) ----
+        work32 = work.astype(np.int64)
+        eprefix = np.cumsum(work32) - work32
+        eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
+        s_iota = np.arange(total_slots, dtype=np.int64)
+        j = s_iota - eprefix[eloc]
+        adr = offsets64[mid][eloc] + j
+        # tile of each edge -> u_local relative to its tile's first source
+        starts_arr = np.asarray(starts, dtype=np.int64)
+        tile_of_edge = np.searchsorted(starts_arr, src, side="right") - 1
+        ul_edge = src - starts_arr[tile_of_edge]
+        keyhi_edge = (ul_edge.astype(np.uint32) << np.uint32(w_bits + 1)) | real.astype(np.uint32)
+        s_pad = _next_pow2(total_slots + cap)
+        slot_adr = np.zeros(s_pad, dtype=np.int32)
+        slot_keyhi = np.zeros(s_pad, dtype=np.int32)
+        slot_mid = np.zeros(s_pad, dtype=np.int32)
+        slot_adr[:total_slots] = adr
+        slot_keyhi[:total_slots] = np.repeat(keyhi_edge, work32).view(np.int32)
+        slot_mid[:total_slots] = np.repeat(mid, work32)
+        tile_slot_start = np.full(t_pad + 1, total_slots, dtype=np.int32)
+        tile_slot_start[: num_tiles + 1] = row_prefix[bounds]
+    elif packed:
+        packed = False
 
     return TilePlan(
         fe_src=fe_src,
@@ -144,9 +220,16 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         fe_work=fe_work,
         fe_cnt=fe_cnt,
         tile_edge_start=tile_edge_start,
+        tile_src_start=tile_src_start,
         cap=cap,
         num_tiles=num_tiles,
         huge_src=huge_src,
         total_slots=total_slots,
         huge_slots=huge_slots,
+        w_bits=w_bits,
+        packed=packed,
+        slot_adr=slot_adr,
+        slot_keyhi=slot_keyhi,
+        slot_mid=slot_mid,
+        tile_slot_start=tile_slot_start,
     )

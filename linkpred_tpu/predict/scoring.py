@@ -3,20 +3,32 @@
 This is the TPU-native re-expression of the reference's hot loop
 (`/root/reference/inc/predict.hxx:284-339`):
 
-* the per-thread dense scratch scatter (`predict.hxx:154-179`) becomes a
-  lexicographic sort of (u, w) candidate slots + a segmented run reduction
-  (sort-based accumulation is the XLA-idiomatic hash table);
+* the per-thread dense scratch scatter (`predict.hxx:154-179`) becomes a sort of
+  per-slot candidate keys + a run reduction (sort-based accumulation is the
+  XLA-idiomatic hash table);
 * the "zero out self + first-order neighbors" pass (`predict.hxx:306-307`) becomes
-  killer slots injected by the plan (see `plan.py`) whose large negative count makes
-  first-order runs drop out of the reduction;
+  killer slots injected by the plan (see `plan.py`): a killer shares its (u, w) run
+  but sorts first, so any run led by a killer is dead;
 * the per-thread bounded min-heap (`predict.hxx:309-337`) becomes a fused per-tile
-  `lax.top_k` merged into a running top-k carry inside `lax.scan`;
+  top-k merged into a running top-k carry inside `lax.scan`;
 * `schedule(dynamic, 2048)` load balancing (`predict.hxx:287`) is precomputed as the
   work-balanced tile schedule.
 
-Everything here is static-shaped and jit-compiled once per
-(metric, cap, k, padded sizes) — the analog of the reference's template
-instantiation over <MINDEGREE1, MAXFACTOR2, ...>.
+Two execution paths (chosen statically by the plan, see `plan.py`):
+
+* **Packed slot stream** (fast): the expansion is precomputed host-side; the device
+  does dynamic-slice → one neighbor gather → one single-operand uint32 sort → one
+  max-scan.  For the seven count metrics the common-neighbor count is simply the
+  *run length* (killers invalidate, never subtract), so the sort carries **no
+  payload**.  Performance note (measured on v5e): XLA's TPU sort degrades ~300x on
+  multi-key clustered input, and in-scan window reads with dynamic starts lower to
+  full gathers — both avoided here by construction.
+* **Edge stream** (memory-light fallback): the device rebuilds the slot mapping
+  (cumsum + scatter + max-scan) and sorts (u, w, cnt) with two int32 keys.  Used
+  for IHub-scale expansions where materializing slots would blow memory.
+
+Everything is static-shaped and jit-compiled once per (metric, cap, k, padded
+sizes) — the analog of the reference's template instantiation.
 """
 from __future__ import annotations
 
@@ -38,22 +50,99 @@ __all__ = ["score_tiles", "tile_candidates", "score_huge_sources_host"]
 _SENTINEL = np.int32(2**31 - 1)
 
 
+def _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid, maxf2, min_score):
+    """Shared tail: degree gathers + metric formula + validity/min-score mask
+    (predict.hxx:503-831)."""
+    du = degrees[ku]
+    dw = degrees[kw]
+    if maxf2:
+        # Parity with the reference's MAXFACTOR2 predicate *as written*
+        # (predict.hxx:221,295): note it compares deg(u) against maxf2*deg(u)
+        # (self-compare) — kept verbatim; the published experiment never sets it.
+        valid &= (du <= maxf2 * du) & (dw <= maxf2 * du)
+    score = metric.score(jnp.maximum(cnt_tot, 0), wt_tot, du, dw)
+    score = jnp.where(valid & (score > min_score), score, -jnp.inf)
+    return score, ku, kw
+
+
+def tile_candidates_packed(
+    indices, degrees, wt_table,
+    slot_adr, slot_keyhi, slot_mid,
+    t_start, t_end, t_src_start,
+    *, metric: MetricSpec, cap: int, maxf2: int, min_score, w_bits: int,
+):
+    """Packed-path tile scoring over the precomputed slot stream."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
+    n = degrees.shape[0]
+
+    w_mask = jnp.uint32((1 << w_bits) - 1)
+    pad_rank = (1 << (31 - w_bits)) - 1
+
+    adr = jax.lax.dynamic_slice(slot_adr, (t_start,), (cap,))
+    keyhi = jax.lax.dynamic_slice(slot_keyhi, (t_start,), (cap,))
+    lanes = iota < (t_end - t_start)
+    w = indices[adr]                              # the one big gather
+    key = keyhi.astype(u32) | (w.astype(u32) << 1)
+    pad_key = (jnp.uint32(pad_rank) << (w_bits + 1)) \
+        | ((iota.astype(u32) & w_mask) << 1) | jnp.uint32(1)
+    key = jnp.where(lanes, key, pad_key)
+
+    if metric.needs_weight:
+        mid = jax.lax.dynamic_slice(slot_mid, (t_start,), (cap,))
+        real = (keyhi & 1) == 1
+        wt = jnp.where(lanes & real, wt_table[mid], jnp.float32(0.0))
+        key, wt = jax.lax.sort((key, wt), num_keys=1)
+    else:
+        key = jax.lax.sort(key)
+
+    rb = key >> 1                                 # run id = (u_local, w)
+    neq = rb[1:] != rb[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    # One max-scan carries both the run-start position and the first slot's
+    # real/killer flag: killers sort first, so a run is alive iff its first
+    # element is real (no payloads, no segmented combine for count metrics).
+    flag = (key & 1).astype(i32)
+    m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
+    start = m >> 1
+    alive = (m & 1) == 1
+    cnt_tot = iota - start + 1                    # run length == Nuv when alive
+
+    if metric.needs_weight:
+        wt_tot = segment_run_totals(is_start, wt)
+    else:
+        wt_tot = cnt_tot.astype(jnp.float32)
+
+    rank = (key >> (w_bits + 1)).astype(i32)
+    ku = t_src_start + rank
+    kw = ((key >> 1) & w_mask).astype(i32)
+    # deferred candidate filter ft (predict.hxx:221 "v>u") + pad exclusion
+    valid = is_end & alive & (kw > ku) & (rank != pad_rank)
+    ku = jnp.minimum(ku, n - 1)                   # pad ranks overflow vertex range
+    kw = jnp.minimum(kw, n - 1)
+    return _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid,
+                       maxf2, min_score)
+
+
 def tile_candidates(
     offsets, indices, degrees, wt_table,
     fe_src, fe_mid, fe_work, fe_cnt,
-    t_start, t_end,
+    t_start, t_end, t_src_start,
     *, metric: MetricSpec, cap: int, maxf2: int, min_score,
+    w_bits: int = 0,
 ):
-    """Score one tile's candidate pairs. Returns (score[cap], u[cap], w[cap]) with
-    -inf scores on invalid lanes."""
+    """Edge-stream tile scoring: rebuild the slot mapping on device, two-key sort.
+    (``w_bits``/``t_src_start`` accepted for signature parity; unused here.)"""
     i32 = jnp.int32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
+    n = degrees.shape[0]
 
     # --- edge window -------------------------------------------------------
     eids = t_start + iota                       # global edge ids; fe_* are padded
     evalid = eids < t_end
     ework = jnp.where(evalid, fe_work[eids], 0)
-    ecnt = fe_cnt[eids]
     eprefix = jnp.cumsum(ework) - ework         # exclusive slot prefix within tile
     total = eprefix[-1] + ework[-1]
 
@@ -88,51 +177,85 @@ def tile_candidates(
         cnt_tot = segment_run_totals(is_start, cnt)
         wt_tot = cnt_tot.astype(jnp.float32)
 
-    # --- scoring (predict.hxx:503-831 formulas) -----------------------------
-    n = degrees.shape[0]
-    du = degrees[jnp.minimum(ku, n - 1)]
-    dw = degrees[jnp.minimum(kw, n - 1)]
     valid = is_end & (ku != _SENTINEL) & (cnt_tot > 0)
-    if maxf2:
-        # Parity with the reference's MAXFACTOR2 predicate *as written*
-        # (predict.hxx:221,295): note it compares deg(u) against maxf2*deg(u)
-        # (self-compare) — kept verbatim; the published experiment never sets it.
-        valid &= (du <= maxf2 * du) & (dw <= maxf2 * du)
-    score = metric.score(jnp.maximum(cnt_tot, 0), wt_tot, du, dw)
-    score = jnp.where(valid & (score > min_score), score, -jnp.inf)
-    return score, ku, kw
+    ku = jnp.minimum(ku, n - 1)
+    kw = jnp.minimum(kw, n - 1)
+    return _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid,
+                       maxf2, min_score)
+
+
+def _sort_merge(carry: TopK, score, u, v) -> TopK:
+    """Merge tile candidates into the carry with one descending sort (XLA's
+    top_k inside scan compiles poorly; sort is uniformly fast)."""
+    k = carry.scores.shape[0]
+    s2 = jnp.concatenate([carry.scores, score])
+    u2 = jnp.concatenate([carry.u, u])
+    v2 = jnp.concatenate([carry.v, v])
+    ns, u2, v2 = jax.lax.sort((-s2, u2, v2), num_keys=1)
+    return TopK(-ns[:k], u2[:k], v2[:k])
+
+
+def scan_tiles(
+    stream_fn, tile_start, tile_end, tile_src, k: int,
+) -> TopK:
+    """Run ``stream_fn(t_start, t_end, t_src) -> (score, u, v)`` over all tiles
+    under `lax.scan` with a sort-merged top-k carry; empty tiles skip via cond."""
+
+    def body(carry: TopK, ts):
+        t_start, t_end, t_src = ts
+        out = jax.lax.cond(
+            t_start < t_end,
+            lambda c: _sort_merge(c, *stream_fn(t_start, t_end, t_src)),
+            lambda c: c,
+            carry,
+        )
+        return out, None
+
+    carry, _ = jax.lax.scan(
+        body, topk_init(k), (tile_start, tile_end, tile_src))
+    return carry
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric_name", "cap", "k", "maxf2"),
+    static_argnames=("metric_name", "cap", "k", "maxf2", "w_bits"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_table,
-    fe_src, fe_mid, fe_work, fe_cnt,
-    tile_edge_start,
+    stream,
+    tile_start, tile_src_start,
     min_score,
-    *, metric_name: str, cap: int, k: int, maxf2: int = 0,
+    *, metric_name: str, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
 ) -> TopK:
-    """Run all tiles under `lax.scan`, carrying a running global top-k."""
+    """Score all tiles. ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when
+    ``w_bits > 0`` (packed path) else ``(fe_src, fe_mid, fe_work, fe_cnt)``.
+    ``tile_start`` indexes slots (packed) or edges (fallback)."""
     metric = METRICS[metric_name]
-    kt = min(k, cap)
 
-    def body(carry: TopK, ts):
-        t_start, t_end = ts
-        score, u, w = tile_candidates(
-            offsets, indices, degrees, wt_table,
-            fe_src, fe_mid, fe_work, fe_cnt,
-            t_start, t_end,
-            metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
-        )
-        cand = topk_from_candidates(score, u, w, kt)
-        return topk_merge(carry, cand), None
+    if w_bits:
+        slot_adr, slot_keyhi, slot_mid = stream
 
-    carry, _ = jax.lax.scan(
-        body, topk_init(k), (tile_edge_start[:-1], tile_edge_start[1:])
-    )
-    return carry
+        def stream_fn(t_start, t_end, t_src):
+            return tile_candidates_packed(
+                indices, degrees, wt_table,
+                slot_adr, slot_keyhi, slot_mid,
+                t_start, t_end, t_src,
+                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+                w_bits=w_bits,
+            )
+    else:
+        fe_src, fe_mid, fe_work, fe_cnt = stream
+
+        def stream_fn(t_start, t_end, t_src):
+            return tile_candidates(
+                offsets, indices, degrees, wt_table,
+                fe_src, fe_mid, fe_work, fe_cnt,
+                t_start, t_end, t_src,
+                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+            )
+
+    return scan_tiles(
+        stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1], k)
 
 
 def score_huge_sources_host(

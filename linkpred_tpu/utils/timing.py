@@ -2,9 +2,15 @@
 
 Parity with the reference's `measureDuration(fn, N)` repeat-averaged milliseconds
 (`/root/reference/inc/_utility.hxx:113-119`), adapted to an async accelerator:
-results are blocked on (`jax.block_until_ready`) before the clock stops, and an
-optional warmup call excludes XLA compilation (the reference's g++ compiles ahead of
-time, so timed regions never include compilation).
+results are synced before the clock stops, and an optional warmup call excludes XLA
+compilation (the reference's g++ compiles ahead of time, so timed regions never
+include compilation).
+
+Sync discipline: `jax.block_until_ready` alone is NOT trusted — on relay/remote
+PJRT backends it can return before device execution completes (measured: a 20 s
+program "blocking" in 0.3 ms).  `_sync` additionally fetches one element per array
+leaf, which forces the producing computation to finish while transferring only a
+few bytes (a full `device_get` would bottleneck on the relay link instead).
 """
 from __future__ import annotations
 
@@ -15,17 +21,32 @@ import jax
 
 T = TypeVar("T")
 
-__all__ = ["measure_duration", "measure_duration_marked"]
+__all__ = ["measure_duration", "measure_duration_marked", "sync"]
+
+
+def sync(result: T) -> T:
+    """Force completion of ``result`` (see module docstring).
+
+    Fetches one element of the first array leaf: all outputs of one executable
+    materialize together, so one fetch syncs the whole program while costing only
+    a single small round-trip (a per-leaf fetch would multiply relay RTTs).
+    """
+    result = jax.block_until_ready(result)
+    for leaf in jax.tree.leaves(result):
+        if isinstance(leaf, jax.Array) and leaf.size:
+            jax.device_get(leaf.ravel()[0])
+            break
+    return result
 
 
 def measure_duration(fn: Callable[[], T], repeat: int = 1, warmup: bool = True) -> Tuple[float, T]:
     """Run ``fn`` ``repeat`` times; return (average milliseconds, last result)."""
     result = None
     if warmup:
-        result = jax.block_until_ready(fn())
+        result = sync(fn())
     t0 = time.perf_counter()
     for _ in range(max(repeat, 1)):
-        result = jax.block_until_ready(fn())
+        result = sync(fn())
     t1 = time.perf_counter()
     return (t1 - t0) * 1e3 / max(repeat, 1), result
 
@@ -39,7 +60,7 @@ def measure_duration_marked(fn: Callable[[Callable], T], repeat: int = 1) -> Tup
         def mark(f):
             nonlocal acc
             t0 = time.perf_counter()
-            r = jax.block_until_ready(f())
+            r = sync(f())
             acc += time.perf_counter() - t0
             return r
         result = fn(mark)
