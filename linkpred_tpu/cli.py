@@ -59,6 +59,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     symmetric = bool(int(args.symmetric))
     weighted = bool(int(args.weighted))
 
+    from .utils.debug import install_fault_handler
+    install_fault_handler()  # main.cxx:234 install_sigsegv parity
+
     import jax
 
     num_threads = jax.device_count()
