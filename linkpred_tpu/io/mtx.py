@@ -101,17 +101,33 @@ def read_mtx(
     weighted: bool = False,
     symmetrize: bool = False,
     remove_self_loops: bool = False,
+    use_native: bool = True,
 ) -> CSRGraph:
     """Read an MTX file into a :class:`CSRGraph`.
 
     ``symmetrize`` / ``remove_self_loops`` fold in the driver's post-load transforms
-    (`/root/reference/main.cxx:244-245`) as single-pass options.
+    (`/root/reference/main.cxx:244-245`) as single-pass options.  Large files parse
+    through the native C++ body parser (``native/src/mtx_native.cpp``) when it
+    builds; otherwise NumPy-vectorized text parsing.
     """
     text = _read_text(path_or_buf)
     header, body = _parse_header(text)
     n = max(header.rows, header.cols)
     if n == 0:
         return from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=0)
+
+    if use_native and header.size > 0:
+        from .native import parse_mtx_body
+
+        parsed = parse_mtx_body(
+            text[body:].encode("utf-8", errors="replace"), header.size, weighted)
+        if parsed is not None:
+            psrc, pdst, pw = parsed
+            return _finish(psrc - 1, pdst - 1,
+                           None if not weighted else (
+                               pw.astype(np.float32) if pw is not None
+                               else np.ones(psrc.shape[0], np.float32)),
+                           n, header.symmetric, symmetrize, remove_self_loops)
 
     # Tokenize the whole body at once; rows have 2 (pattern) or 3+ columns.
     tokens = text[body:].split()
@@ -133,8 +149,11 @@ def read_mtx(
     dst = table[:, 1].astype(np.int64) - 1
     w = table[:, 2].astype(np.float32) if (weighted and ncol >= 3) else (
         np.ones(nrows, dtype=np.float32) if weighted else None)
+    return _finish(src, dst, w, n, header.symmetric, symmetrize, remove_self_loops)
 
-    if header.symmetric:
+
+def _finish(src, dst, w, n, header_symmetric, symmetrize, remove_self_loops) -> CSRGraph:
+    if header_symmetric:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         if w is not None:
             w = np.concatenate([w, w])

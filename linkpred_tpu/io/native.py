@@ -1,0 +1,88 @@
+"""ctypes loader for the native C++ helpers (``native/`` at the repo root).
+
+Builds ``liblinkpred_native.so`` with ``g++`` on first use (cached; rebuilds when
+the source is newer) and exposes the MTX body parser.  Everything degrades
+gracefully: if no compiler or the build fails, callers fall back to the NumPy
+parser (`linkpred_tpu.io.mtx`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["native_lib", "parse_mtx_body"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SRC = os.path.join(_NATIVE_DIR, "src", "mtx_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "build", "liblinkpred_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def native_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on demand; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SRC):
+        return None
+    fresh = os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    if not fresh and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.lp_mtx_parse.restype = ctypes.c_int64
+        lib.lp_mtx_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.lp_mtx_detect_cols.restype = ctypes.c_int
+        lib.lp_mtx_detect_cols.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def parse_mtx_body(
+    body: bytes, max_rows: int, weighted: bool,
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """Parse coordinate lines into (src, dst, weights) 1-indexed int64 arrays.
+    Returns None when the native library is unavailable."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    ncols = lib.lp_mtx_detect_cols(body, len(body))
+    if ncols < 2:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), (np.empty(0, dtype=np.float64) if weighted else None)
+    src = np.empty(max_rows, dtype=np.int64)
+    dst = np.empty(max_rows, dtype=np.int64)
+    wts = np.empty(max_rows, dtype=np.float64) if (weighted and ncols >= 3) else None
+    rows = lib.lp_mtx_parse(
+        body, len(body), max_rows, ncols,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        wts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if wts is not None else None,
+    )
+    rows = int(rows)
+    return src[:rows], dst[:rows], (wts[:rows] if wts is not None else None)
