@@ -1,0 +1,204 @@
+"""GraphSAGE encoder + SDDMM decoder: the learned/hybrid link-prediction family.
+
+The reference is purely heuristic; this module is the TPU-first extension called
+for by the project baseline (BASELINE.json configs[4]): a 2-layer GraphSAGE mean
+aggregator (SpMM over the CSR edge list as `segment_sum` of gathered neighbor
+features — MXU-friendly dense feature matmuls, bandwidth-friendly one-gather
+aggregation) with an SDDMM decoder (per-candidate-pair dot / Hadamard-MLP score),
+plus a hybrid model that mixes the learned score with any heuristic metric's
+score over the same candidate pairs.
+
+Pure-JAX functional design: ``init(key, ...) -> params``, jitted ``apply``; no
+Flax dependency so the module stays self-contained.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph import CSRGraph, edge_list
+from ..predict.api import PredictOptions, PredictResult, predict_links
+from .heuristic import HeuristicPredictor
+
+__all__ = ["SageParams", "sage_init", "sage_encode", "sddmm_scores",
+           "GNNPredictor", "HybridPredictor", "train_sage"]
+
+
+def _dense(key, din, dout):
+    k1, _ = jax.random.split(key)
+    scale = jnp.sqrt(2.0 / din)
+    return dict(w=jax.random.normal(k1, (din, dout)) * scale,
+                b=jnp.zeros((dout,)))
+
+
+def sage_init(key, in_dim: int, hidden: int = 64, out_dim: int = 32) -> dict:
+    """2-layer GraphSAGE parameters. Each layer: concat(self, mean-neighbors) @ W."""
+    k1, k2 = jax.random.split(key)
+    return dict(
+        l1=_dense(k1, 2 * in_dim, hidden),
+        l2=_dense(k2, 2 * hidden, out_dim),
+    )
+
+
+SageParams = dict  # alias for readability in signatures
+
+
+def _mean_aggregate(h, esrc, edst, degrees):
+    """SpMM (mean aggregator): for each vertex, the mean of its neighbors'
+    features — one gather + one segment_sum over the directed edge list."""
+    n = h.shape[0]
+    msg = h[edst]                                     # gather neighbor features
+    agg = jax.ops.segment_sum(msg, esrc, num_segments=n)
+    return agg / jnp.maximum(degrees, 1).astype(h.dtype)[:, None]
+
+
+def _layer(p, h, esrc, edst, degrees, act=jax.nn.relu):
+    nbr = _mean_aggregate(h, esrc, edst, degrees)
+    z = jnp.concatenate([h, nbr], axis=1) @ p["w"] + p["b"]
+    return act(z)
+
+
+@partial(jax.jit, static_argnames=())
+def sage_encode(params, feats, esrc, edst, degrees):
+    """Node embeddings: 2 GraphSAGE layers, L2-normalized output."""
+    h = _layer(params["l1"], feats, esrc, edst, degrees)
+    h = _layer(params["l2"], h, esrc, edst, degrees, act=lambda x: x)
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-6)
+
+
+@jax.jit
+def sddmm_scores(emb, u, v):
+    """SDDMM dot decoder: score candidate pairs (u, v) from embeddings only at
+    the sampled positions (never materializing the dense score matrix)."""
+    return jnp.sum(emb[u] * emb[v], axis=1)
+
+
+def _degree_features(g: CSRGraph, dim: int = 8) -> np.ndarray:
+    """Featureless-graph default input: log-degree + positional harmonics."""
+    deg = np.asarray(g.host().degrees, dtype=np.float64)
+    base = np.log1p(deg)[:, None]
+    ks = np.arange(1, dim, dtype=np.float64)[None, :]
+    harm = np.sin(base * ks / np.log(2.0 + deg.max()))
+    return np.concatenate([base, harm], axis=1).astype(np.float32)
+
+
+def train_sage(
+    g: CSRGraph,
+    feats: Optional[np.ndarray] = None,
+    hidden: int = 64,
+    out_dim: int = 32,
+    steps: int = 200,
+    lr: float = 1e-2,
+    neg_ratio: int = 1,
+    seed: int = 0,
+):
+    """Self-supervised training: observed edges positive, uniform pairs negative,
+    logistic loss on the SDDMM dot score. Returns (params, feats)."""
+    import optax
+
+    g = g.host()
+    esrc, edst = edge_list(g)
+    esrc = jnp.asarray(esrc, jnp.int32)
+    edst = jnp.asarray(edst, jnp.int32)
+    degrees = jnp.asarray(g.degrees)
+    if feats is None:
+        feats = _degree_features(g)
+    featsj = jnp.asarray(feats)
+
+    key = jax.random.PRNGKey(seed)
+    params = sage_init(key, featsj.shape[1], hidden, out_dim)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    m, n = int(esrc.shape[0]), g.n
+    batch = min(4096, max(m, 1))
+
+    @jax.jit
+    def step(params, opt_state, key):
+        kp, kn1, kn2 = jax.random.split(key, 3)
+        pos = jax.random.randint(kp, (batch,), 0, max(m, 1))
+        pu, pv = esrc[pos], edst[pos]
+        nu = jax.random.randint(kn1, (batch * neg_ratio,), 0, n)
+        nv = jax.random.randint(kn2, (batch * neg_ratio,), 0, n)
+
+        def loss_fn(p):
+            emb = sage_encode(p, featsj, esrc, edst, degrees)
+            ps = sddmm_scores(emb, pu, pv)
+            ns = sddmm_scores(emb, nu, nv)
+            return (jnp.mean(jax.nn.softplus(-ps))
+                    + jnp.mean(jax.nn.softplus(ns)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = jnp.inf
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    return params, feats, float(loss)
+
+
+@dataclasses.dataclass
+class GNNPredictor:
+    """GraphSAGE+SDDMM model: candidate pairs come from the heuristic engine
+    (cheap, exact top-k universe), scores come from the learned decoder."""
+    params: dict
+    feats: np.ndarray
+    candidate_metric: str = "common_neighbors"
+    min_degree1: int = 0
+    candidate_factor: int = 4   # score this multiple of max_edges candidates
+    name: str = "predictLinksGraphSageSDDMMTpu"
+
+    def predict(self, g: CSRGraph, max_edges: Optional[int] = None,
+                min_score: float = float("-inf")) -> PredictResult:
+        g = g.host()
+        k = max_edges or (1 << 15)
+        cand = predict_links(
+            g, metric=self.candidate_metric, min_degree1=self.min_degree1,
+            options=PredictOptions(max_edges=k * self.candidate_factor))
+        esrc, edst = edge_list(g)
+        emb = sage_encode(
+            self.params, jnp.asarray(self.feats),
+            jnp.asarray(esrc, jnp.int32), jnp.asarray(edst, jnp.int32),
+            jnp.asarray(g.degrees))
+        s = np.asarray(sddmm_scores(emb, jnp.asarray(cand.u), jnp.asarray(cand.v)))
+        order = np.argsort(-s, kind="stable")[:k]
+        keep = s[order] > min_score
+        order = order[keep]
+        return PredictResult(
+            u=cand.u[order], v=cand.v[order], score=s[order].astype(np.float32),
+            time_ms=cand.time_ms, scoring_ms=cand.scoring_ms)
+
+
+@dataclasses.dataclass
+class HybridPredictor:
+    """Mix a heuristic metric score with the learned SDDMM score over the SAME
+    candidate pairs: score = (1 - alpha) * normalized-heuristic + alpha * gnn."""
+    gnn: GNNPredictor
+    heuristic: HeuristicPredictor
+    alpha: float = 0.5
+    name: str = "predictLinksHybridTpu"
+
+    def predict(self, g: CSRGraph, max_edges: Optional[int] = None) -> PredictResult:
+        g = g.host()
+        k = max_edges or (1 << 15)
+        base = self.heuristic.predict(g, max_edges=k * self.gnn.candidate_factor)
+        esrc, edst = edge_list(g)
+        emb = sage_encode(
+            self.gnn.params, jnp.asarray(self.gnn.feats),
+            jnp.asarray(esrc, jnp.int32), jnp.asarray(edst, jnp.int32),
+            jnp.asarray(g.degrees))
+        gs = np.asarray(sddmm_scores(emb, jnp.asarray(base.u), jnp.asarray(base.v)))
+        hs = base.score
+        hmax = float(np.abs(hs).max()) if hs.size else 1.0
+        mixed = (1 - self.alpha) * (hs / max(hmax, 1e-9)) + self.alpha * gs
+        order = np.argsort(-mixed, kind="stable")[:k]
+        return PredictResult(
+            u=base.u[order], v=base.v[order],
+            score=mixed[order].astype(np.float32),
+            time_ms=base.time_ms, scoring_ms=base.scoring_ms)

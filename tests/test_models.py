@@ -1,0 +1,93 @@
+"""Model-zoo tests: heuristic predictors, GraphSAGE training, hybrid scoring."""
+import numpy as np
+import pytest
+
+from conftest import random_graph
+from test_harness import community_graph
+
+from linkpred_tpu.models import (
+    GNNPredictor,
+    HeuristicPredictor,
+    HybridPredictor,
+    IHub,
+    LHub,
+    all_models,
+    sage_encode,
+    sage_init,
+    sddmm_scores,
+    train_sage,
+)
+
+
+def test_heuristic_predictor_matches_predict_links(rng):
+    from linkpred_tpu import PredictOptions, predict_links
+
+    g = random_graph(rng, n=100, avg_deg=5)
+    m = HeuristicPredictor(metric="jaccard", min_degree1=0, cap=4096)
+    res = m.predict(g, max_edges=50)
+    ref = predict_links(g, metric="jaccard_coefficient", min_degree1=0,
+                        options=PredictOptions(max_edges=50), cap=4096)
+    np.testing.assert_allclose(np.sort(res.score), np.sort(ref.score), rtol=1e-6)
+    assert m.name == "predictLinksJaccardCoefficientTpu0"
+
+
+def test_ihub_lhub_factories():
+    assert IHub("cn").min_degree1 == 0
+    assert LHub("cn", 128).min_degree1 == 128
+    zoo = all_models(degrees=(0, 64))
+    assert len(zoo) == 18
+    assert len({m.name for m in zoo}) == 18
+
+
+def test_sage_shapes(rng):
+    import jax
+    import jax.numpy as jnp
+
+    g = random_graph(rng, n=50, avg_deg=4)
+    from linkpred_tpu.graph import edge_list
+
+    esrc, edst = edge_list(g)
+    feats = jnp.ones((g.n, 8))
+    params = sage_init(jax.random.PRNGKey(0), 8, hidden=16, out_dim=12)
+    emb = sage_encode(params, feats, jnp.asarray(esrc, jnp.int32),
+                      jnp.asarray(edst, jnp.int32), jnp.asarray(g.degrees))
+    assert emb.shape == (g.n, 12)
+    norms = np.linalg.norm(np.asarray(emb), axis=1)
+    np.testing.assert_allclose(norms[np.asarray(g.degrees) > 0], 1.0, atol=1e-4)
+    s = sddmm_scores(emb, jnp.asarray([0, 1]), jnp.asarray([1, 2]))
+    assert s.shape == (2,)
+
+
+def test_train_sage_learns_structure(rng):
+    g = community_graph(rng, n_comm=4, size=12, p_in=0.8)
+    params, feats, loss = train_sage(g, steps=120, hidden=16, out_dim=8, seed=0)
+    assert np.isfinite(loss)
+    # embeddings should score intra-community pairs above cross-community pairs
+    import jax.numpy as jnp
+    from linkpred_tpu.graph import edge_list
+
+    esrc, edst = edge_list(g)
+    emb = sage_encode(params, jnp.asarray(feats), jnp.asarray(esrc, jnp.int32),
+                      jnp.asarray(edst, jnp.int32), jnp.asarray(g.degrees))
+    intra = float(np.mean(np.asarray(
+        sddmm_scores(emb, jnp.arange(0, 6), jnp.arange(6, 12)))))      # same comm
+    inter = float(np.mean(np.asarray(
+        sddmm_scores(emb, jnp.arange(0, 6), jnp.arange(24, 30)))))     # diff comm
+    assert intra > inter
+
+
+def test_gnn_and_hybrid_predict(rng):
+    g = community_graph(rng, n_comm=3, size=12, p_in=0.8)
+    params, feats, _ = train_sage(g, steps=60, hidden=16, out_dim=8, seed=1)
+    gnn = GNNPredictor(params=params, feats=feats)
+    res = gnn.predict(g, max_edges=20)
+    assert len(res) <= 20
+    assert np.all(np.diff(res.score) <= 1e-6)
+    hyb = HybridPredictor(gnn=gnn, heuristic=HeuristicPredictor("cn", 0, cap=4096),
+                          alpha=0.5)
+    hres = hyb.predict(g, max_edges=20)
+    assert len(hres) <= 20
+    # predictions are valid non-edges with u < v
+    for u, v in zip(hres.u, hres.v):
+        assert u < v
+        assert not g.has_edge(int(u), int(v))
