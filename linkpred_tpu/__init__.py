@@ -18,7 +18,8 @@ Layout (reference layer map in SURVEY.md §1):
 """
 
 from .graph import CSRGraph, from_edges, from_dense, to_dense, edge_list
-from .predict.api import PredictOptions, PredictResult, predict_links, PlanCache
+from .predict.api import (
+    PredictOptions, PredictResult, predict_links, predict_links_multi, PlanCache)
 from .predict.metrics import METRICS, get_metric
 from .io.mtx import read_mtx, read_mtx_header, write_mtx
 
@@ -26,7 +27,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CSRGraph", "from_edges", "from_dense", "to_dense", "edge_list",
-    "PredictOptions", "PredictResult", "predict_links", "PlanCache",
+    "PredictOptions", "PredictResult", "predict_links", "predict_links_multi",
+    "PlanCache",
     "METRICS", "get_metric",
     "read_mtx", "read_mtx_header", "write_mtx",
     "__version__",

@@ -31,8 +31,9 @@ from ..ops.batch import (
     generate_edge_insertions,
     tidy_batch,
 )
-from ..predict.api import PlanCache, PredictOptions, predict_links
-from ..predict.metrics import METRICS, TECHNIQUE_NAMES
+from ..predict.api import (
+    PlanCache, PredictOptions, predict_links, predict_links_multi)
+from ..predict.metrics import METRICS, TECHNIQUE_NAMES, get_metric
 from ..utils.logging import log, result_line
 
 __all__ = [
@@ -68,6 +69,7 @@ class ExperimentConfig:
     seed: Optional[int] = 0       # None => OS entropy (reference behavior)
     cap: int = 1 << 20            # scoring tile slot budget
     min_score: float = 0.0
+    fused_metrics: bool = True    # one expansion+sort pass scores all metrics
 
 
 def directed_pairs(pairs: np.ndarray, undirected: bool = False) -> np.ndarray:
@@ -138,6 +140,8 @@ def run_experiment(
     import jax
 
     cfg = config or ExperimentConfig()
+    cfg = dataclasses.replace(
+        cfg, metrics=tuple(get_metric(m).name for m in cfg.metrics))
     num_threads = cfg.num_threads or jax.device_count()
     rng = np.random.default_rng(cfg.seed)
     plan_cache = PlanCache()
@@ -150,15 +154,30 @@ def run_experiment(
         # already sorted+unique — this is `deletions0` (main.cxx:210-211).
         deletions0 = deletions
         max_edges = deletions0.shape[0] // 2
-        for metric in cfg.metrics:
-            for deg in cfg.degrees:
-                res = predict_links(
-                    y, metric=metric, min_degree1=deg,
+        for deg in cfg.degrees:
+            if cfg.fused_metrics:
+                # One expansion+sort pass scores every metric (the reference
+                # re-scans per metric, main.cxx:212-220); reported times are
+                # amortized per technique.
+                multi = predict_links_multi(
+                    y, cfg.metrics, min_degree1=deg,
                     options=PredictOptions(
                         repeat=cfg.repeat_method, max_edges=max_edges,
                         min_score=cfg.min_score),
                     cap=cfg.cap, plan_cache=plan_cache,
                 )
+            else:
+                multi = {
+                    metric: predict_links(
+                        y, metric=metric, min_degree1=deg,
+                        options=PredictOptions(
+                            repeat=cfg.repeat_method, max_edges=max_edges,
+                            min_score=cfg.min_score),
+                        cap=cfg.cap, plan_cache=plan_cache)
+                    for metric in cfg.metrics
+                }
+            for metric in cfg.metrics:
+                res = multi[metric]
                 predicted = np.stack([res.u, res.v], axis=1).astype(np.int64)
                 insertions1 = directed_pairs(predicted, undirected=True)
                 common = common_pair_count(deletions0, insertions1)

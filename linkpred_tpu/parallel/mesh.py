@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.topk import TopK, topk_from_candidates
+from ..ops.topk import TopK
 from ..predict.metrics import METRICS
 
 __all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded"]
@@ -74,71 +74,51 @@ def pad_tiles_for_mesh(
 
 @partial(
     jax.jit,
-    static_argnames=("metric_name", "cap", "k", "maxf2", "w_bits", "mesh", "axis"),
+    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "mesh", "axis"),
 )
 def score_tiles_sharded(
-    offsets, indices, degrees, wt_table,
+    offsets, indices, degrees, wt_tables,
     stream,
     tile_starts, tile_ends, tile_srcs,
     min_score,
-    *, metric_name: str, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
+    *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     mesh: Mesh, axis: str = "workers",
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
+    Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
 
     ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when ``w_bits > 0`` (packed
     path) else ``(fe_src, fe_mid, fe_work, fe_cnt)`` — see `plan.py`.
     ``tile_starts``/``tile_ends``/``tile_srcs`` must be length-multiple-of-mesh-
-    size (see ``pad_tiles_for_mesh``). Returns a replicated TopK.
+    size (see ``pad_tiles_for_mesh``).
     """
-    from ..predict.scoring import (
-        scan_tiles, tile_candidates, tile_candidates_packed)
+    from ..predict.scoring import _make_stream_fn, scan_tiles
 
-    metric = METRICS[metric_name]
+    metrics = tuple(METRICS[name] for name in metric_names)
 
-    def local_scan(tile_s, tile_e, tile_src, offsets, indices, degrees, wt_table,
-                   stream, min_score):
-        if w_bits:
-            slot_adr, slot_keyhi, slot_mid = stream
-
-            def stream_fn(t_start, t_end, t_src):
-                return tile_candidates_packed(
-                    indices, degrees, wt_table,
-                    slot_adr, slot_keyhi, slot_mid,
-                    t_start, t_end, t_src,
-                    metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
-                    w_bits=w_bits,
-                )
-        else:
-            fe_src, fe_mid, fe_work, fe_cnt = stream
-
-            def stream_fn(t_start, t_end, t_src):
-                return tile_candidates(
-                    offsets, indices, degrees, wt_table,
-                    fe_src, fe_mid, fe_work, fe_cnt,
-                    t_start, t_end, t_src,
-                    metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
-                )
-
-        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, k)
-        # Hierarchical merge over ICI: k-sized buffers only.
-        gathered = jax.lax.all_gather(local, axis)  # leaves: [n_dev, k]
-        return topk_from_candidates(
-            gathered.scores.reshape(-1),
-            gathered.u.reshape(-1),
-            gathered.v.reshape(-1),
-            k,
-        )
+    def local_scan(tile_s, tile_e, tile_src, offsets, indices, degrees,
+                   wt_tables, stream, min_score):
+        stream_fn = _make_stream_fn(
+            offsets, indices, degrees, wt_tables, stream,
+            metrics, cap, maxf2, min_score, w_bits)
+        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, k, len(metrics))
+        # Hierarchical merge over ICI: [M, k]-sized buffers only.
+        gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)
+        # leaves: [M, n_dev * k]; batched descending sort-merge back to [M, k]
+        ns, u2, v2 = jax.lax.sort(
+            (-gathered.scores, gathered.u, gathered.v), dimension=1, num_keys=1)
+        return TopK(-ns[:, :k], u2[:, :k], v2[:, :k])
 
     rep = P()
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis),
-                  rep, rep, rep, rep,
+                  rep, rep, rep,
+                  jax.tree.map(lambda _: rep, wt_tables),
                   jax.tree.map(lambda _: rep, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )
     return fn(tile_starts, tile_ends, tile_srcs, offsets, indices, degrees,
-              wt_table, stream, min_score)
+              wt_tables, stream, min_score)

@@ -20,7 +20,8 @@ from .metrics import METRICS, get_metric
 from .plan import TilePlan, build_plan
 from .scoring import score_huge_sources_host, score_tiles
 
-__all__ = ["PredictOptions", "PredictResult", "predict_links", "PlanCache"]
+__all__ = ["PredictOptions", "PredictResult", "predict_links",
+           "predict_links_multi", "PlanCache"]
 
 _DEFAULT_MAX_EDGES = 1 << 20
 
@@ -83,9 +84,9 @@ class PlanCache:
         self._cache.clear()
 
 
-def predict_links(
+def predict_links_multi(
     g: CSRGraph,
-    metric: str = "common_neighbors",
+    metrics,
     min_degree1: int = 4,
     max_factor2: int = 0,
     options: Optional[PredictOptions] = None,
@@ -93,27 +94,30 @@ def predict_links(
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
-) -> PredictResult:
-    """Predict the top-``max_edges`` unobserved links of an undirected graph.
+) -> dict:
+    """Predict links for SEVERAL metrics in one fused pass.
 
-    ``min_degree1`` = 0 is IHub (scan all intermediates); > 0 is LHub (skip hub
-    intermediates with degree above the threshold) — `predict.hxx:227,301`.
-    Defaults mirror the reference template defaults <MINDEGREE1=4, MAXFACTOR2=0>.
+    The reference runs its 9 metrics as independent full scans
+    (`main.cxx:212-220`); the expansion + sort + run reduction is metric-
+    independent, so here it executes once and only the scoring formulas and
+    top-k carries fan out.  Returns ``{metric_name: PredictResult}``; reported
+    ``scoring_ms``/``time_ms`` are the shared pass time divided evenly across
+    metrics (amortized cost per technique).
 
-    ``mesh``: optional 1-D `jax.sharding.Mesh`; when given, tiles are sharded
-    across its axis with a hierarchical top-k merge over ICI (the multi-chip
-    replacement for the reference's per-thread heaps + serial merge,
-    `predict.hxx:440-459`).
+    ``mesh``: optional 1-D `jax.sharding.Mesh`; tiles shard across its axis with
+    a hierarchical top-k merge over ICI (the multi-chip replacement for the
+    reference's per-thread heaps + serial merge, `predict.hxx:440-459`).
     """
-    spec = get_metric(metric)
+    specs = tuple(get_metric(m) for m in metrics)
+    names = tuple(s.name for s in specs)
     o = options or PredictOptions()
     max_edges = _DEFAULT_MAX_EDGES if o.max_edges is None else int(o.max_edges)
-    if max_edges <= 0:
+    if max_edges <= 0 or not specs:
         # Reference skips the loop entirely when maxEdges == 0 (predict.hxx:367).
         empty = np.empty(0)
-        return PredictResult(
+        return {name: PredictResult(
             empty.astype(np.int32), empty.astype(np.int32),
-            empty.astype(np.float32), 0.0, 0.0)
+            empty.astype(np.float32), 0.0, 0.0) for name in names}
 
     if plan is None:
         if plan_cache is not None:
@@ -123,9 +127,9 @@ def predict_links(
 
     k = _next_pow2(min(max_edges, max(plan.total_slots, 1)))
     gd = g.device()
-    wt_table = jnp.asarray(
-        spec.weight_table(np.asarray(g.degrees)) if spec.needs_weight
-        else np.ones(1, dtype=np.float32))
+    degs_np = np.asarray(g.degrees)
+    wt_tables = {s.name: jnp.asarray(s.weight_table(degs_np))
+                 for s in specs if s.needs_weight}
     w_bits = plan.w_bits if plan.packed else 0
     if plan.packed:
         stream = (jnp.asarray(plan.slot_adr), jnp.asarray(plan.slot_keyhi),
@@ -149,43 +153,74 @@ def predict_links(
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded(
-                gd.offsets, gd.indices, gd.degrees, wt_table, stream,
+                gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 t_starts, t_ends, t_srcs, min_score,
-                metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+                metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
-                gd.offsets, gd.indices, gd.degrees, wt_table, stream,
+                gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 tile_start, tss, min_score,
-                metric_name=spec.name, cap=plan.cap, k=k, maxf2=max_factor2,
+                metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits,
             )
         if plan.huge_src.size:
-            huge_state["res"] = score_huge_sources_host(
-                g, plan.huge_src, spec, min_degree1, max_factor2,
-                o.min_score, k=max_edges,
-            )
+            huge_state["res"] = {
+                s.name: score_huge_sources_host(
+                    g, plan.huge_src, s, min_degree1, max_factor2,
+                    o.min_score, k=max_edges)
+                for s in specs
+            }
         return top
 
     ts, top = measure_duration(run_scoring, repeat=o.repeat)
 
-    def finalize():
-        scores = np.asarray(top.scores)
-        us = np.asarray(top.u)
-        vs = np.asarray(top.v)
-        if plan.huge_src.size:
-            hs, hu, hv = huge_state["res"]
-            scores = np.concatenate([scores, hs])
-            us = np.concatenate([us, hu])
-            vs = np.concatenate([vs, hv])
-        valid = np.isfinite(scores)
-        scores, us, vs = scores[valid], us[valid], vs[valid]
-        order = np.argsort(-scores, kind="stable")[:max_edges]
-        return us[order], vs[order], scores[order]
+    results = {}
+    for i, name in enumerate(names):
+        def finalize(i=i, name=name):
+            scores = np.asarray(top.scores[i])
+            us = np.asarray(top.u[i])
+            vs = np.asarray(top.v[i])
+            if plan.huge_src.size:
+                hs, hu, hv = huge_state["res"][name]
+                scores = np.concatenate([scores, hs])
+                us = np.concatenate([us, hu])
+                vs = np.concatenate([vs, hv])
+            valid = np.isfinite(scores)
+            scores, us, vs = scores[valid], us[valid], vs[valid]
+            order = np.argsort(-scores, kind="stable")[:max_edges]
+            return us[order], vs[order], scores[order]
 
-    to, (us, vs, ss) = measure_duration(finalize, repeat=1, warmup=False)
-    return PredictResult(
-        u=us.astype(np.int32), v=vs.astype(np.int32), score=ss.astype(np.float32),
-        time_ms=ts + to, scoring_ms=ts,
-    )
+        to, (us, vs, ss) = measure_duration(finalize, repeat=1, warmup=False)
+        results[name] = PredictResult(
+            u=us.astype(np.int32), v=vs.astype(np.int32),
+            score=ss.astype(np.float32),
+            time_ms=ts / len(names) + to, scoring_ms=ts / len(names),
+        )
+    return results
+
+
+def predict_links(
+    g: CSRGraph,
+    metric: str = "common_neighbors",
+    min_degree1: int = 4,
+    max_factor2: int = 0,
+    options: Optional[PredictOptions] = None,
+    cap: int = 1 << 20,
+    plan: Optional[TilePlan] = None,
+    plan_cache: Optional[PlanCache] = None,
+    mesh=None,
+) -> PredictResult:
+    """Predict the top-``max_edges`` unobserved links of an undirected graph.
+
+    ``min_degree1`` = 0 is IHub (scan all intermediates); > 0 is LHub (skip hub
+    intermediates with degree above the threshold) — `predict.hxx:227,301`.
+    Defaults mirror the reference template defaults <MINDEGREE1=4, MAXFACTOR2=0>.
+    Thin wrapper over :func:`predict_links_multi` with a single metric.
+    """
+    spec = get_metric(metric)
+    return predict_links_multi(
+        g, (spec.name,), min_degree1=min_degree1, max_factor2=max_factor2,
+        options=options, cap=cap, plan=plan, plan_cache=plan_cache, mesh=mesh,
+    )[spec.name]

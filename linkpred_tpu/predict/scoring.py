@@ -50,9 +50,11 @@ __all__ = ["score_tiles", "tile_candidates", "score_huge_sources_host"]
 _SENTINEL = np.int32(2**31 - 1)
 
 
-def _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid, maxf2, min_score):
-    """Shared tail: degree gathers + metric formula + validity/min-score mask
-    (predict.hxx:503-831)."""
+def _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid, maxf2,
+                min_score):
+    """Shared tail: degree gathers + per-metric formulas + validity/min-score mask
+    (predict.hxx:503-831).  ``wt_tots`` maps weighted-metric name -> accumulated
+    run totals.  Returns scores stacked [M, cap]."""
     du = degrees[ku]
     dw = degrees[kw]
     if maxf2:
@@ -60,18 +62,29 @@ def _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid, maxf2, min_scor
         # (predict.hxx:221,295): note it compares deg(u) against maxf2*deg(u)
         # (self-compare) — kept verbatim; the published experiment never sets it.
         valid &= (du <= maxf2 * du) & (dw <= maxf2 * du)
-    score = metric.score(jnp.maximum(cnt_tot, 0), wt_tot, du, dw)
-    score = jnp.where(valid & (score > min_score), score, -jnp.inf)
-    return score, ku, kw
+    nuv = jnp.maximum(cnt_tot, 0)
+    rows = []
+    for metric in metrics:
+        acc = wt_tots[metric.name] if metric.needs_weight else nuv.astype(jnp.float32)
+        s = metric.score(nuv, acc, du, dw)
+        rows.append(jnp.where(valid & (s > min_score), s, -jnp.inf))
+    return jnp.stack(rows), ku, kw
 
 
 def tile_candidates_packed(
-    indices, degrees, wt_table,
+    indices, degrees, wt_tables,
     slot_adr, slot_keyhi, slot_mid,
     t_start, t_end, t_src_start,
-    *, metric: MetricSpec, cap: int, maxf2: int, min_score, w_bits: int,
+    *, metrics, cap: int, maxf2: int, min_score, w_bits: int,
 ):
-    """Packed-path tile scoring over the precomputed slot stream."""
+    """Packed-path tile scoring over the precomputed slot stream.
+
+    One expansion + one sort serves every metric in ``metrics`` (the reference
+    runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
+    second-hop scan is shared and only the final formula differs).  Weighted
+    metrics (AA/RA) each add one f32 sort payload from ``wt_tables``.
+    Returns (scores [M, cap], ku [cap], kw [cap]).
+    """
     i32 = jnp.int32
     u32 = jnp.uint32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
@@ -89,11 +102,13 @@ def tile_candidates_packed(
         | ((iota.astype(u32) & w_mask) << 1) | jnp.uint32(1)
     key = jnp.where(lanes, key, pad_key)
 
-    if metric.needs_weight:
+    weighted = [m for m in metrics if m.needs_weight]
+    if weighted:
         mid = jax.lax.dynamic_slice(slot_mid, (t_start,), (cap,))
-        real = (keyhi & 1) == 1
-        wt = jnp.where(lanes & real, wt_table[mid], jnp.float32(0.0))
-        key, wt = jax.lax.sort((key, wt), num_keys=1)
+        real = lanes & ((keyhi & 1) == 1)
+        wts = [jnp.where(real, wt_tables[m.name][mid], jnp.float32(0.0))
+               for m in weighted]
+        key, *wts = jax.lax.sort((key, *wts), num_keys=1)
     else:
         key = jax.lax.sort(key)
 
@@ -110,10 +125,11 @@ def tile_candidates_packed(
     alive = (m & 1) == 1
     cnt_tot = iota - start + 1                    # run length == Nuv when alive
 
-    if metric.needs_weight:
-        wt_tot = segment_run_totals(is_start, wt)
-    else:
-        wt_tot = cnt_tot.astype(jnp.float32)
+    wt_tots = {}
+    if weighted:
+        tots = segment_run_totals(is_start, *wts)
+        tots = tots if isinstance(tots, tuple) else (tots,)
+        wt_tots = {m.name: t for m, t in zip(weighted, tots)}
 
     rank = (key >> (w_bits + 1)).astype(i32)
     ku = t_src_start + rank
@@ -122,18 +138,19 @@ def tile_candidates_packed(
     valid = is_end & alive & (kw > ku) & (rank != pad_rank)
     ku = jnp.minimum(ku, n - 1)                   # pad ranks overflow vertex range
     kw = jnp.minimum(kw, n - 1)
-    return _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid,
+    return _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid,
                        maxf2, min_score)
 
 
 def tile_candidates(
-    offsets, indices, degrees, wt_table,
+    offsets, indices, degrees, wt_tables,
     fe_src, fe_mid, fe_work, fe_cnt,
     t_start, t_end, t_src_start,
-    *, metric: MetricSpec, cap: int, maxf2: int, min_score,
+    *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, two-key sort.
+    Returns (scores [M, cap], ku, kw).
     (``w_bits``/``t_src_start`` accepted for signature parity; unused here.)"""
     i32 = jnp.int32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
@@ -166,40 +183,56 @@ def tile_candidates(
     cnt = jnp.where(cand, cnt, 0)
 
     # --- sort + segmented reduction (the "hash table") ----------------------
-    if metric.needs_weight:
-        wt = jnp.where(cnt > 0, wt_table[mid], jnp.float32(0.0))
-        ku, kw, cnt, wt = jax.lax.sort((ku, kw, cnt, wt), num_keys=2)
+    weighted = [m for m in metrics if m.needs_weight]
+    if weighted:
+        wts = [jnp.where(cnt > 0, wt_tables[m.name][mid], jnp.float32(0.0))
+               for m in weighted]
+        ku, kw, cnt, *wts = jax.lax.sort((ku, kw, cnt, *wts), num_keys=2)
         is_start, is_end = run_boundaries(ku, kw)
-        cnt_tot, wt_tot = segment_run_totals(is_start, cnt, wt)
+        tots = segment_run_totals(is_start, cnt, *wts)
+        cnt_tot, wt_list = tots[0], tots[1:]
+        wt_tots = {m.name: t for m, t in zip(weighted, wt_list)}
     else:
         ku, kw, cnt = jax.lax.sort((ku, kw, cnt), num_keys=2)
         is_start, is_end = run_boundaries(ku, kw)
         cnt_tot = segment_run_totals(is_start, cnt)
-        wt_tot = cnt_tot.astype(jnp.float32)
+        wt_tots = {}
 
     valid = is_end & (ku != _SENTINEL) & (cnt_tot > 0)
     ku = jnp.minimum(ku, n - 1)
     kw = jnp.minimum(kw, n - 1)
-    return _score_runs(metric, degrees, ku, kw, cnt_tot, wt_tot, valid,
+    return _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid,
                        maxf2, min_score)
 
 
-def _sort_merge(carry: TopK, score, u, v) -> TopK:
-    """Merge tile candidates into the carry with one descending sort (XLA's
-    top_k inside scan compiles poorly; sort is uniformly fast)."""
-    k = carry.scores.shape[0]
-    s2 = jnp.concatenate([carry.scores, score])
-    u2 = jnp.concatenate([carry.u, u])
-    v2 = jnp.concatenate([carry.v, v])
-    ns, u2, v2 = jax.lax.sort((-s2, u2, v2), num_keys=1)
-    return TopK(-ns[:k], u2[:k], v2[:k])
+def _topk_init_batched(num_metrics: int, k: int) -> TopK:
+    return TopK(
+        scores=jnp.full((num_metrics, k), -jnp.inf, dtype=jnp.float32),
+        u=jnp.zeros((num_metrics, k), dtype=jnp.int32),
+        v=jnp.zeros((num_metrics, k), dtype=jnp.int32),
+    )
+
+
+def _sort_merge(carry: TopK, scores, u, v) -> TopK:
+    """Merge tile candidates (scores [M, cap], shared u/v [cap]) into the [M, k]
+    carry with one batched descending sort (XLA's top_k inside scan compiles
+    poorly; sort is uniformly fast)."""
+    m, k = carry.scores.shape
+    ub = jnp.broadcast_to(u[None, :], (m, u.shape[0]))
+    vb = jnp.broadcast_to(v[None, :], (m, v.shape[0]))
+    s2 = jnp.concatenate([carry.scores, scores], axis=1)
+    u2 = jnp.concatenate([carry.u, ub], axis=1)
+    v2 = jnp.concatenate([carry.v, vb], axis=1)
+    ns, u2, v2 = jax.lax.sort((-s2, u2, v2), dimension=1, num_keys=1)
+    return TopK(-ns[:, :k], u2[:, :k], v2[:, :k])
 
 
 def scan_tiles(
-    stream_fn, tile_start, tile_end, tile_src, k: int,
+    stream_fn, tile_start, tile_end, tile_src, k: int, num_metrics: int,
 ) -> TopK:
-    """Run ``stream_fn(t_start, t_end, t_src) -> (score, u, v)`` over all tiles
-    under `lax.scan` with a sort-merged top-k carry; empty tiles skip via cond."""
+    """Run ``stream_fn(t_start, t_end, t_src) -> (scores [M, cap], u, v)`` over
+    all tiles under `lax.scan` with a sort-merged [M, k] top-k carry; empty tiles
+    skip via cond."""
 
     def body(carry: TopK, ts):
         t_start, t_end, t_src = ts
@@ -212,35 +245,21 @@ def scan_tiles(
         return out, None
 
     carry, _ = jax.lax.scan(
-        body, topk_init(k), (tile_start, tile_end, tile_src))
+        body, _topk_init_batched(num_metrics, k), (tile_start, tile_end, tile_src))
     return carry
 
 
-@partial(
-    jax.jit,
-    static_argnames=("metric_name", "cap", "k", "maxf2", "w_bits"),
-)
-def score_tiles(
-    offsets, indices, degrees, wt_table,
-    stream,
-    tile_start, tile_src_start,
-    min_score,
-    *, metric_name: str, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
-) -> TopK:
-    """Score all tiles. ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when
-    ``w_bits > 0`` (packed path) else ``(fe_src, fe_mid, fe_work, fe_cnt)``.
-    ``tile_start`` indexes slots (packed) or edges (fallback)."""
-    metric = METRICS[metric_name]
-
+def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
+                    metrics, cap, maxf2, min_score, w_bits):
     if w_bits:
         slot_adr, slot_keyhi, slot_mid = stream
 
         def stream_fn(t_start, t_end, t_src):
             return tile_candidates_packed(
-                indices, degrees, wt_table,
+                indices, degrees, wt_tables,
                 slot_adr, slot_keyhi, slot_mid,
                 t_start, t_end, t_src,
-                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+                metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits,
             )
     else:
@@ -248,14 +267,38 @@ def score_tiles(
 
         def stream_fn(t_start, t_end, t_src):
             return tile_candidates(
-                offsets, indices, degrees, wt_table,
+                offsets, indices, degrees, wt_tables,
                 fe_src, fe_mid, fe_work, fe_cnt,
                 t_start, t_end, t_src,
-                metric=metric, cap=cap, maxf2=maxf2, min_score=min_score,
+                metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
             )
+    return stream_fn
 
+
+@partial(
+    jax.jit,
+    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits"),
+)
+def score_tiles(
+    offsets, indices, degrees, wt_tables,
+    stream,
+    tile_start, tile_src_start,
+    min_score,
+    *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
+) -> TopK:
+    """Score all tiles for every metric in ``metric_names`` (tuple of names) in
+    one shared expansion+sort pass; returns a [M, k] TopK.
+
+    ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when ``w_bits > 0``
+    (packed path) else ``(fe_src, fe_mid, fe_work, fe_cnt)``.  ``tile_start``
+    indexes slots (packed) or edges (fallback).  ``wt_tables`` maps weighted
+    metric name -> per-vertex table (may be empty when none are weighted)."""
+    metrics = tuple(METRICS[name] for name in metric_names)
+    stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
+                                metrics, cap, maxf2, min_score, w_bits)
     return scan_tiles(
-        stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1], k)
+        stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
+        k, len(metrics))
 
 
 def score_huge_sources_host(
