@@ -1,0 +1,27 @@
+"""Sweep runner: synthetic spec parsing, log emission, CSV production."""
+import os
+
+from linkpred_tpu.bench.sweep import _parse_synthetic, main
+
+
+def test_parse_synthetic():
+    name, g = _parse_synthetic("rmat:8:4")
+    assert name == "rmat_s8_e4"
+    assert g.n == 256 and g.m > 0
+
+
+def test_sweep_end_to_end(tmp_path, capsys):
+    rc = main([
+        "--synthetic", "rmat:8:4", "--out-dir", str(tmp_path),
+        "--metrics", "cn", "--degrees", "0",
+        "--repeat-batch", "1", "--repeat-method", "1",
+        "--deletions-begin", "0.05", "--deletions-end", "0.05",
+        "--cap", "16384",
+    ])
+    assert rc == 0
+    assert (tmp_path / "sweep.log").exists()
+    csv = tmp_path / "rmat_s8_e4.csv"
+    assert csv.exists()
+    lines = csv.read_text().strip().split("\n")
+    assert len(lines) >= 2
+    assert "predictLinksCommonNeighborsTpu0" in lines[1]
