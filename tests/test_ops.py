@@ -173,3 +173,30 @@ def test_debug_assert_modes():
             ASSERT(False, "active")
     finally:
         set_build_mode(old)
+
+
+def test_vector_ops():
+    import jax.numpy as jnp
+
+    from linkpred_tpu.ops.vector import (
+        add_value, copy_values, fill_value, gather_values, multiply_value,
+        multiply_values, scatter_or, scatter_values, value_indices)
+
+    x = jnp.asarray([10, 20, 30, 40])
+    ids = jnp.asarray([2, 0])
+    np.testing.assert_array_equal(np.asarray(gather_values(x, ids)), [30, 10])
+    np.testing.assert_array_equal(
+        np.asarray(scatter_values(x, ids, jnp.asarray([7, 8]))), [8, 20, 7, 40])
+    b = jnp.asarray([False, True, False])
+    np.testing.assert_array_equal(
+        np.asarray(scatter_or(b, jnp.asarray([0, 2]), jnp.asarray([True, False]))),
+        [True, True, False])
+    np.testing.assert_array_equal(
+        np.asarray(value_indices(jnp.asarray([2, 0, 1]), 3)), [1, 2, 0])
+    np.testing.assert_array_equal(np.asarray(fill_value(x, 5)), [5, 5, 5, 5])
+    np.testing.assert_array_equal(np.asarray(fill_value(x, 5, ids)), [5, 20, 5, 40])
+    np.testing.assert_array_equal(np.asarray(add_value(x, 1, ids)), [11, 20, 31, 40])
+    np.testing.assert_array_equal(np.asarray(copy_values(x)), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(multiply_value(x, 2)), [20, 40, 60, 80])
+    np.testing.assert_array_equal(
+        np.asarray(multiply_values(x, jnp.asarray([1, 0, 1, 0]))), [10, 0, 30, 0])
