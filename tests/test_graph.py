@@ -132,3 +132,17 @@ def test_graph_pytree_jit(rng):
         return gr.degrees.sum()
 
     assert int(total_degree(g)) == g.m
+
+
+def test_npz_roundtrip(rng, tmp_path):
+    from conftest import random_graph
+
+    from linkpred_tpu.io.npz import load_graph, save_graph
+
+    g = random_graph(rng, n=60, avg_deg=4)
+    p = tmp_path / "g.npz"
+    save_graph(g, p)
+    h = load_graph(p)
+    assert (g.n, g.m) == (h.n, h.m)
+    np.testing.assert_array_equal(np.asarray(g.offsets), np.asarray(h.offsets))
+    np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(h.indices))
