@@ -43,16 +43,31 @@ class _Tee:
 
 
 def run_sweep(graphs, cfg: ExperimentConfig, out_dir: str,
-              symmetric: bool = False, weighted: bool = False) -> str:
+              symmetric: bool = False, weighted: bool = False,
+              resume: bool = False) -> str:
     """Run the experiment over ``graphs`` (paths or ("name", CSRGraph) pairs);
-    returns the log path."""
+    returns the log path.
+
+    ``resume=True`` makes the run restartable: graphs whose results already
+    appear in ``<out_dir>/sweep.log`` are skipped (the log doubles as the
+    checkpoint, like the reference's append-only ``tee -a`` protocol,
+    `main.sh:3-5` — but with actual skip-on-restart semantics).
+    """
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "sweep.log")
+    done = set()
+    if resume and os.path.exists(log_path):
+        done = {name for name, rows in read_log(log_path).items() if rows}
     import jax
 
     with open(log_path, "a") as logf:
         out = _Tee(sys.stdout, logf)
         for item in graphs:
+            stem = (item[0] if isinstance(item, tuple)
+                    else os.path.splitext(os.path.basename(str(item)))[0])
+            if stem in done:
+                log(f"skipping {stem} (already in {log_path})")
+                continue
             if isinstance(item, tuple):
                 name, g = item
                 path = f"/synthetic/{name}.mtx"
@@ -108,6 +123,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--deletions-end", type=float, default=1e-1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cap", type=int, default=1 << 20)
+    p.add_argument("--resume", action="store_true",
+                   help="skip graphs already present in the sweep log")
     args = p.parse_args(argv)
 
     graphs = [g for g in args.graphs.split(",") if g]
@@ -124,7 +141,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
            if args.degrees else {}),
     )
     log_path = run_sweep(graphs, cfg, args.out_dir,
-                         symmetric=args.symmetric, weighted=args.weighted)
+                         symmetric=args.symmetric, weighted=args.weighted,
+                         resume=args.resume)
     data = read_log(log_path)
     write_csv(os.path.join(args.out_dir, "sweep.csv"), process_csv(data))
     for name, rows in data.items():

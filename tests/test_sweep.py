@@ -25,3 +25,19 @@ def test_sweep_end_to_end(tmp_path, capsys):
     lines = csv.read_text().strip().split("\n")
     assert len(lines) >= 2
     assert "predictLinksCommonNeighborsTpu0" in lines[1]
+
+
+def test_sweep_resume_skips_done(tmp_path, capsys):
+    args = [
+        "--synthetic", "rmat:8:4", "--out-dir", str(tmp_path),
+        "--metrics", "cn", "--degrees", "0",
+        "--repeat-batch", "1", "--repeat-method", "1",
+        "--deletions-begin", "0.05", "--deletions-end", "0.05",
+        "--cap", "16384", "--resume",
+    ]
+    assert main(args) == 0
+    n_lines = len((tmp_path / "sweep.log").read_text().splitlines())
+    assert main(args) == 0  # second run skips the graph
+    out = capsys.readouterr().out
+    assert "skipping rmat_s8_e4" in out
+    assert len((tmp_path / "sweep.log").read_text().splitlines()) == n_lines
