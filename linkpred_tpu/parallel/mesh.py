@@ -105,9 +105,13 @@ def score_tiles_sharded(
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)
         # leaves: [M, n_dev * k]; batched descending sort-merge back to [M, k]
-        ns, u2, v2 = jax.lax.sort(
-            (-gathered.scores, gathered.u, gathered.v), dimension=1, num_keys=1)
-        return TopK(-ns[:, :k], u2[:, :k], v2[:, :k])
+        merged_s, merged_u, merged_v = [], [], []
+        for i in range(gathered.scores.shape[0]):
+            nsi, u2i, v2i = jax.lax.sort(
+                (-gathered.scores[i], gathered.u[i], gathered.v[i]),
+                num_keys=1, is_stable=False)
+            merged_s.append(-nsi[:k]); merged_u.append(u2i[:k]); merged_v.append(v2i[:k])
+        return TopK(jnp.stack(merged_s), jnp.stack(merged_u), jnp.stack(merged_v))
 
     rep = P()
     fn = jax.shard_map(

@@ -80,6 +80,17 @@ class PlanCache:
             self._cache[key] = plan
         return plan
 
+    def device_graph(self, g: CSRGraph) -> CSRGraph:
+        """Device copy of ``g``, uploaded once per graph (the CSR arrays are tens
+        of MB; re-uploading per metric/threshold costs real wall-clock on
+        relay-backed hosts)."""
+        key = ("gdev", id(g.offsets), id(g.indices), g.n, g.m)
+        gd = self._cache.get(key)
+        if gd is None:
+            gd = g.device()
+            self._cache[key] = gd
+        return gd
+
     def clear(self) -> None:
         self._cache.clear()
 
@@ -126,19 +137,14 @@ def predict_links_multi(
             plan = build_plan(g, min_degree1, cap)
 
     k = _next_pow2(min(max_edges, max(plan.total_slots, 1)))
-    gd = g.device()
-    degs_np = np.asarray(g.degrees)
-    wt_tables = {s.name: jnp.asarray(s.weight_table(degs_np))
-                 for s in specs if s.needs_weight}
+    gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
+    # Weight tables feed only the edge-stream fallback; the packed path computes
+    # AA/RA weights elementwise from deg(mid).
+    wt_tables = {} if plan.packed else {
+        s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
+        for s in specs if s.needs_weight}
     w_bits = plan.w_bits if plan.packed else 0
-    if plan.packed:
-        stream = (jnp.asarray(plan.slot_adr), jnp.asarray(plan.slot_keyhi),
-                  jnp.asarray(plan.slot_mid))
-    else:
-        stream = (jnp.asarray(plan.fe_src), jnp.asarray(plan.fe_mid),
-                  jnp.asarray(plan.fe_work), jnp.asarray(plan.fe_cnt))
-    tile_start = jnp.asarray(plan.tile_start)
-    tss = jnp.asarray(plan.tile_src_start)
+    stream, tile_start, tss = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
     huge_state = {}

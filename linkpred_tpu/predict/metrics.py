@@ -43,6 +43,17 @@ class MetricSpec(NamedTuple):
             raise AssertionError(self.name)
         return w.astype(np.float32)
 
+    def weight_from_degree(self, deg):
+        """Per-intermediate weight as an elementwise function of deg(mid)
+        (float32 array in, float32 out) — the gather-free form of
+        ``weight_table`` used by the packed slot stream."""
+        d = deg.astype(jnp.float32)
+        if self.name == "adamic_adar":
+            return jnp.where(d > 1, 1.0 / jnp.log(jnp.maximum(d, 2.0)), 0.0)
+        if self.name == "resource_allocation":
+            return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1.0), 0.0)
+        raise AssertionError(self.name)
+
     def score(self, cnt, acc, deg_u, deg_v):
         """Similarity score. ``cnt`` int32 common-neighbor count, ``acc`` float32
         accumulated weight (AA/RA only), degrees int32."""

@@ -21,13 +21,16 @@ shapes, so we *precompute* a balanced schedule on the host:
 **Two device-side execution formats** (static choice per plan):
 
 * **Packed slot stream** (``packed=True``, the fast path): the full expansion is
-  precomputed on the host as per-slot arrays — ``slot_adr`` (index into the CSR
-  ``indices`` array) and ``slot_keyhi`` (``u_local << (w_bits+1) | real_flag``, the
-  high bits of the per-slot sort key).  The device does one dynamic-slice per tile,
-  one neighbor gather, one single-operand uint32 sort, and one max-scan — no
-  cumsum/scatter slot mapping on device, no sort payloads for count metrics (the
-  common-neighbor count is the run *length*).  Used when the tile source span fits
-  the key's high bits and the slot count fits ``slot_budget``.
+  precomputed on the host as per-slot arrays — the candidate vertex ``slot_w``,
+  the sort-key high bits ``slot_keyhi`` (``u_local << (w_bits+1) | real_flag``),
+  and the degree triplet (``slot_udeg``/``slot_wdeg``/``slot_middeg``) that the
+  scoring formulas need.  The device does dynamic-slice window reads, one
+  single-operand uint32 key sort with the degrees as payloads, and one max-scan —
+  ZERO full-table gathers, no cumsum/scatter slot mapping (measured: in-scan
+  gathers cost 10-31 ms per 2^20 lanes; everything else is ~ms).  AA/RA weights
+  are computed elementwise from ``slot_middeg`` (no weight-table gather).  Used
+  when the tile source span fits the key's high bits and the slot count fits
+  ``slot_budget``.
 * **Edge stream** (``packed=False``): per-edge arrays only; the device reconstructs
   the slot->edge mapping with cumsum + scatter + max-scan and sorts (u, w) as two
   int32 keys.  Memory-light — used for IHub-scale expansions (slot counts beyond
@@ -77,11 +80,21 @@ class TilePlan:
     huge_slots: int       # expansion slots routed to the huge-source path
     w_bits: int           # width of the w field in the packed sort key
     packed: bool          # True => slot stream precomputed (fast path)
-    # Packed slot stream (None unless packed):
-    slot_adr: Optional[np.ndarray] = None    # int32[S_pad] index into `indices`
+    # Packed slot stream (None unless packed).  Everything the device pipeline
+    # needs is precomputed per slot, so tiles run with ZERO full-table gathers
+    # (measured: in-scan gathers cost 10-31 ms per 2^20 lanes; dynamic-slice
+    # window reads are ~free):
+    slot_w: Optional[np.ndarray] = None      # int32[S_pad] candidate vertex w
     slot_keyhi: Optional[np.ndarray] = None  # int32[S_pad] u_local<<(w_bits+1)|real
-    slot_mid: Optional[np.ndarray] = None    # int32[S_pad] intermediate vertex
+    slot_udeg: Optional[np.ndarray] = None   # int32[S_pad] deg(u)
+    slot_wdeg: Optional[np.ndarray] = None   # int32[S_pad] deg(w)
+    slot_middeg: Optional[np.ndarray] = None  # int32[S_pad] deg(mid) (AA/RA wts)
     tile_slot_start: Optional[np.ndarray] = None  # int32[T_pad + 1]
+    # Memoized device copies (mutable contents of a frozen dataclass — not part
+    # of equality/pytree; streams are hundreds of MB, so re-uploading per call
+    # through the host link costs seconds).
+    _device: dict = dataclasses.field(default_factory=dict, repr=False,
+                                      compare=False)
 
     @property
     def num_tiles_padded(self) -> int:
@@ -91,6 +104,26 @@ class TilePlan:
     def tile_start(self) -> np.ndarray:
         """Per-tile stream offsets for the active path."""
         return self.tile_slot_start if self.packed else self.tile_edge_start
+
+    def device_stream(self):
+        """(stream tuple, tile_start, tile_src_start) as device arrays, uploaded
+        once per plan and reused across metrics/calls."""
+        d = self._device
+        if "stream" not in d:
+            import jax.numpy as jnp
+
+            if self.packed:
+                d["stream"] = (jnp.asarray(self.slot_w),
+                               jnp.asarray(self.slot_keyhi),
+                               jnp.asarray(self.slot_udeg),
+                               jnp.asarray(self.slot_wdeg),
+                               jnp.asarray(self.slot_middeg))
+            else:
+                d["stream"] = (jnp.asarray(self.fe_src), jnp.asarray(self.fe_mid),
+                               jnp.asarray(self.fe_work), jnp.asarray(self.fe_cnt))
+            d["tile_start"] = jnp.asarray(self.tile_start)
+            d["tile_src_start"] = jnp.asarray(self.tile_src_start)
+        return d["stream"], d["tile_start"], d["tile_src_start"]
 
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
@@ -188,7 +221,8 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     fe_work[:m1] = work
     fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
 
-    slot_adr = slot_keyhi = slot_mid = tile_slot_start = None
+    slot_w = slot_keyhi = slot_udeg = slot_wdeg = slot_middeg = None
+    tile_slot_start = None
     if packed and starts:
         # --- host-side slot expansion (one np.repeat pass over the stream) ----
         work32 = work.astype(np.int64)
@@ -197,18 +231,23 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         s_iota = np.arange(total_slots, dtype=np.int64)
         j = s_iota - eprefix[eloc]
         adr = offsets64[mid][eloc] + j
+        wv = indices[adr]
         # tile of each edge -> u_local relative to its tile's first source
         starts_arr = np.asarray(starts, dtype=np.int64)
         tile_of_edge = np.searchsorted(starts_arr, src, side="right") - 1
         ul_edge = src - starts_arr[tile_of_edge]
         keyhi_edge = (ul_edge.astype(np.uint32) << np.uint32(w_bits + 1)) | real.astype(np.uint32)
         s_pad = _next_pow2(total_slots + cap)
-        slot_adr = np.zeros(s_pad, dtype=np.int32)
+        slot_w = np.zeros(s_pad, dtype=np.int32)
         slot_keyhi = np.zeros(s_pad, dtype=np.int32)
-        slot_mid = np.zeros(s_pad, dtype=np.int32)
-        slot_adr[:total_slots] = adr
+        slot_udeg = np.zeros(s_pad, dtype=np.int32)
+        slot_wdeg = np.zeros(s_pad, dtype=np.int32)
+        slot_middeg = np.zeros(s_pad, dtype=np.int32)
+        slot_w[:total_slots] = wv
         slot_keyhi[:total_slots] = np.repeat(keyhi_edge, work32).view(np.int32)
-        slot_mid[:total_slots] = np.repeat(mid, work32)
+        slot_udeg[:total_slots] = np.repeat(deg[src], work32)
+        slot_wdeg[:total_slots] = deg[wv]
+        slot_middeg[:total_slots] = np.repeat(deg[mid], work32)
         tile_slot_start = np.full(t_pad + 1, total_slots, dtype=np.int32)
         tile_slot_start[: num_tiles + 1] = row_prefix[bounds]
     elif packed:
@@ -228,8 +267,10 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         huge_slots=huge_slots,
         w_bits=w_bits,
         packed=packed,
-        slot_adr=slot_adr,
+        slot_w=slot_w,
         slot_keyhi=slot_keyhi,
-        slot_mid=slot_mid,
+        slot_udeg=slot_udeg,
+        slot_wdeg=slot_wdeg,
+        slot_middeg=slot_middeg,
         tile_slot_start=tile_slot_start,
     )

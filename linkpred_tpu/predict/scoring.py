@@ -50,13 +50,10 @@ __all__ = ["score_tiles", "tile_candidates", "score_huge_sources_host"]
 _SENTINEL = np.int32(2**31 - 1)
 
 
-def _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid, maxf2,
-                min_score):
-    """Shared tail: degree gathers + per-metric formulas + validity/min-score mask
+def _score_runs(metrics, du, dw, cnt_tot, wt_tots, valid, maxf2, min_score):
+    """Shared tail: per-metric formulas + validity/min-score mask
     (predict.hxx:503-831).  ``wt_tots`` maps weighted-metric name -> accumulated
     run totals.  Returns scores stacked [M, cap]."""
-    du = degrees[ku]
-    dw = degrees[kw]
     if maxf2:
         # Parity with the reference's MAXFACTOR2 predicate *as written*
         # (predict.hxx:221,295): note it compares deg(u) against maxf2*deg(u)
@@ -68,35 +65,39 @@ def _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid, maxf2,
         acc = wt_tots[metric.name] if metric.needs_weight else nuv.astype(jnp.float32)
         s = metric.score(nuv, acc, du, dw)
         rows.append(jnp.where(valid & (s > min_score), s, -jnp.inf))
-    return jnp.stack(rows), ku, kw
+    return jnp.stack(rows)
 
 
 def tile_candidates_packed(
-    indices, degrees, wt_tables,
-    slot_adr, slot_keyhi, slot_mid,
+    slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
     t_start, t_end, t_src_start,
-    *, metrics, cap: int, maxf2: int, min_score, w_bits: int,
+    *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
 ):
-    """Packed-path tile scoring over the precomputed slot stream.
+    """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
+    every per-slot quantity (candidate w, key high bits, the three degrees) is a
+    dynamic-slice window read; degrees ride the key sort as payloads; AA/RA
+    weights are elementwise functions of deg(mid).
 
     One expansion + one sort serves every metric in ``metrics`` (the reference
     runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
-    second-hop scan is shared and only the final formula differs).  Weighted
-    metrics (AA/RA) each add one f32 sort payload from ``wt_tables``.
+    second-hop scan is shared and only the final formula differs).
     Returns (scores [M, cap], ku [cap], kw [cap]).
     """
     i32 = jnp.int32
     u32 = jnp.uint32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
-    n = degrees.shape[0]
 
     w_mask = jnp.uint32((1 << w_bits) - 1)
     pad_rank = (1 << (31 - w_bits)) - 1
 
-    adr = jax.lax.dynamic_slice(slot_adr, (t_start,), (cap,))
-    keyhi = jax.lax.dynamic_slice(slot_keyhi, (t_start,), (cap,))
+    def window(a):
+        return jax.lax.dynamic_slice(a, (t_start,), (cap,))
+
+    keyhi = window(slot_keyhi)
+    w = window(slot_w)
+    udeg = window(slot_udeg)
+    wdeg = window(slot_wdeg)
     lanes = iota < (t_end - t_start)
-    w = indices[adr]                              # the one big gather
     key = keyhi.astype(u32) | (w.astype(u32) << 1)
     pad_key = (jnp.uint32(pad_rank) << (w_bits + 1)) \
         | ((iota.astype(u32) & w_mask) << 1) | jnp.uint32(1)
@@ -104,13 +105,13 @@ def tile_candidates_packed(
 
     weighted = [m for m in metrics if m.needs_weight]
     if weighted:
-        mid = jax.lax.dynamic_slice(slot_mid, (t_start,), (cap,))
+        middeg = window(slot_middeg)
         real = lanes & ((keyhi & 1) == 1)
-        wts = [jnp.where(real, wt_tables[m.name][mid], jnp.float32(0.0))
+        wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
                for m in weighted]
-        key, *wts = jax.lax.sort((key, *wts), num_keys=1)
+        key, udeg, wdeg, *wts = jax.lax.sort((key, udeg, wdeg, *wts), num_keys=1, is_stable=False)
     else:
-        key = jax.lax.sort(key)
+        key, udeg, wdeg = jax.lax.sort((key, udeg, wdeg), num_keys=1, is_stable=False)
 
     rb = key >> 1                                 # run id = (u_local, w)
     neq = rb[1:] != rb[:-1]
@@ -118,7 +119,7 @@ def tile_candidates_packed(
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
     # One max-scan carries both the run-start position and the first slot's
     # real/killer flag: killers sort first, so a run is alive iff its first
-    # element is real (no payloads, no segmented combine for count metrics).
+    # element is real (no segmented combine for count metrics).
     flag = (key & 1).astype(i32)
     m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
     start = m >> 1
@@ -138,8 +139,9 @@ def tile_candidates_packed(
     valid = is_end & alive & (kw > ku) & (rank != pad_rank)
     ku = jnp.minimum(ku, n - 1)                   # pad ranks overflow vertex range
     kw = jnp.minimum(kw, n - 1)
-    return _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid,
-                       maxf2, min_score)
+    scores = _score_runs(metrics, udeg, wdeg, cnt_tot, wt_tots, valid,
+                         maxf2, min_score)
+    return scores, ku, kw
 
 
 def tile_candidates(
@@ -187,13 +189,13 @@ def tile_candidates(
     if weighted:
         wts = [jnp.where(cnt > 0, wt_tables[m.name][mid], jnp.float32(0.0))
                for m in weighted]
-        ku, kw, cnt, *wts = jax.lax.sort((ku, kw, cnt, *wts), num_keys=2)
+        ku, kw, cnt, *wts = jax.lax.sort((ku, kw, cnt, *wts), num_keys=2, is_stable=False)
         is_start, is_end = run_boundaries(ku, kw)
         tots = segment_run_totals(is_start, cnt, *wts)
         cnt_tot, wt_list = tots[0], tots[1:]
         wt_tots = {m.name: t for m, t in zip(weighted, wt_list)}
     else:
-        ku, kw, cnt = jax.lax.sort((ku, kw, cnt), num_keys=2)
+        ku, kw, cnt = jax.lax.sort((ku, kw, cnt), num_keys=2, is_stable=False)
         is_start, is_end = run_boundaries(ku, kw)
         cnt_tot = segment_run_totals(is_start, cnt)
         wt_tots = {}
@@ -201,8 +203,11 @@ def tile_candidates(
     valid = is_end & (ku != _SENTINEL) & (cnt_tot > 0)
     ku = jnp.minimum(ku, n - 1)
     kw = jnp.minimum(kw, n - 1)
-    return _score_runs(metrics, degrees, ku, kw, cnt_tot, wt_tots, valid,
-                       maxf2, min_score)
+    du = degrees[ku]
+    dw = degrees[kw]
+    scores = _score_runs(metrics, du, dw, cnt_tot, wt_tots, valid,
+                         maxf2, min_score)
+    return scores, ku, kw
 
 
 def _topk_init_batched(num_metrics: int, k: int) -> TopK:
@@ -215,16 +220,25 @@ def _topk_init_batched(num_metrics: int, k: int) -> TopK:
 
 def _sort_merge(carry: TopK, scores, u, v) -> TopK:
     """Merge tile candidates (scores [M, cap], shared u/v [cap]) into the [M, k]
-    carry with one batched descending sort (XLA's top_k inside scan compiles
-    poorly; sort is uniformly fast)."""
+    carry with per-metric descending 1-D sorts (XLA's top_k inside scan compiles
+    poorly, and a batched [M, N] dimension-1 sort picks a T(1,128) layout that
+    is ~10x slower than 1-D T(1024) sorts — measured via profiler trace)."""
     m, k = carry.scores.shape
-    ub = jnp.broadcast_to(u[None, :], (m, u.shape[0]))
-    vb = jnp.broadcast_to(v[None, :], (m, v.shape[0]))
-    s2 = jnp.concatenate([carry.scores, scores], axis=1)
-    u2 = jnp.concatenate([carry.u, ub], axis=1)
-    v2 = jnp.concatenate([carry.v, vb], axis=1)
-    ns, u2, v2 = jax.lax.sort((-s2, u2, v2), dimension=1, num_keys=1)
-    return TopK(-ns[:, :k], u2[:, :k], v2[:, :k])
+    outs, outu, outv = [], [], []
+    for i in range(m):
+        s2 = jnp.concatenate([carry.scores[i], scores[i]])
+        u2 = jnp.concatenate([carry.u[i], u])
+        v2 = jnp.concatenate([carry.v[i], v])
+        ns, u2, v2 = jax.lax.sort((-s2, u2, v2), num_keys=1, is_stable=False)
+        outs.append(-ns[:k])
+        outu.append(u2[:k])
+        outv.append(v2[:k])
+    return TopK(jnp.stack(outs), jnp.stack(outu), jnp.stack(outv))
+
+
+import os
+
+_USE_COND = os.environ.get("LINKPRED_TILE_COND", "1") != "0"
 
 
 def scan_tiles(
@@ -232,16 +246,20 @@ def scan_tiles(
 ) -> TopK:
     """Run ``stream_fn(t_start, t_end, t_src) -> (scores [M, cap], u, v)`` over
     all tiles under `lax.scan` with a sort-merged [M, k] top-k carry; empty tiles
-    skip via cond."""
+    skip via cond (set LINKPRED_TILE_COND=0 to run them unconditionally — for
+    profiling cond-branch compilation effects)."""
 
     def body(carry: TopK, ts):
         t_start, t_end, t_src = ts
-        out = jax.lax.cond(
-            t_start < t_end,
-            lambda c: _sort_merge(c, *stream_fn(t_start, t_end, t_src)),
-            lambda c: c,
-            carry,
-        )
+        if _USE_COND:
+            out = jax.lax.cond(
+                t_start < t_end,
+                lambda c: _sort_merge(c, *stream_fn(t_start, t_end, t_src)),
+                lambda c: c,
+                carry,
+            )
+        else:
+            out = _sort_merge(carry, *stream_fn(t_start, t_end, t_src))
         return out, None
 
     carry, _ = jax.lax.scan(
@@ -252,15 +270,15 @@ def scan_tiles(
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                     metrics, cap, maxf2, min_score, w_bits):
     if w_bits:
-        slot_adr, slot_keyhi, slot_mid = stream
+        slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
+        n = degrees.shape[0]
 
         def stream_fn(t_start, t_end, t_src):
             return tile_candidates_packed(
-                indices, degrees, wt_tables,
-                slot_adr, slot_keyhi, slot_mid,
+                slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits,
+                w_bits=w_bits, n=n,
             )
     else:
         fe_src, fe_mid, fe_work, fe_cnt = stream
