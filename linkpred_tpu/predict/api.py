@@ -143,7 +143,7 @@ def predict_links_multi(
     wt_tables = {} if plan.packed else {
         s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
         for s in specs if s.needs_weight}
-    w_bits = plan.w_bits if plan.packed else 0
+    w_bits = plan.w_bits if plan.keyed else 0
     stream, tile_start, tss = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
@@ -162,14 +162,14 @@ def predict_links_multi(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 t_starts, t_ends, t_srcs, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
-                w_bits=w_bits, mesh=mesh, axis=axis,
+                w_bits=w_bits, packed=plan.packed, mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 tile_start, tss, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
-                w_bits=w_bits,
+                w_bits=w_bits, packed=plan.packed,
             )
         if plan.huge_src.size:
             huge_state["res"] = {

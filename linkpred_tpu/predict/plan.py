@@ -79,6 +79,7 @@ class TilePlan:
     total_slots: int      # expansion slots across tiles (incl. killer slots)
     huge_slots: int       # expansion slots routed to the huge-source path
     w_bits: int           # width of the w field in the packed sort key
+    keyed: bool           # True => tiles satisfy the packed-key source-span bound
     packed: bool          # True => slot stream precomputed (fast path)
     # Packed slot stream (None unless packed).  Everything the device pipeline
     # needs is precomputed per slot, so tiles run with ZERO full-table gathers
@@ -174,8 +175,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     # A tile's source-ID span must fit the high bits (top rank reserved for pads).
     w_bits = max(int(n).bit_length(), 1)
     u_bits = 31 - w_bits
-    packed = u_bits >= 8 and total_slots <= slot_budget
-    span_max = (1 << u_bits) - 2 if packed else n
+    keyed = u_bits >= 8                  # packed-key sort possible (span bound)
+    packed = keyed and total_slots <= slot_budget  # slot stream materializable
+    span_max = (1 << u_bits) - 2 if keyed else n
 
     # Source-aligned greedy partition: tile boundaries at row starts, each tile's
     # slot total <= cap.  The Python loop runs num_tiles times (small).
@@ -266,6 +268,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         total_slots=total_slots,
         huge_slots=huge_slots,
         w_bits=w_bits,
+        keyed=keyed,
         packed=packed,
         slot_w=slot_w,
         slot_keyhi=slot_keyhi,

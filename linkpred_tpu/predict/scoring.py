@@ -68,58 +68,45 @@ def _score_runs(metrics, du, dw, cnt_tot, wt_tots, valid, maxf2, min_score):
     return jnp.stack(rows)
 
 
-def tile_candidates_packed(
-    slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
-    t_start, t_end, t_src_start,
-    *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-):
-    """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
-    every per-slot quantity (candidate w, key high bits, the three degrees) is a
-    dynamic-slice window read; degrees ride the key sort as payloads; AA/RA
-    weights are elementwise functions of deg(mid).
+def _pad_key(iota, w_bits):
+    """Keys for invalid/padding lanes: the reserved top source rank, with w bits
+    spread by lane index (a constant sentinel mass degrades XLA's sort ~300x)."""
+    u32 = jnp.uint32
+    w_mask = jnp.uint32((1 << w_bits) - 1)
+    pad_rank = jnp.uint32((1 << (31 - w_bits)) - 1)
+    return (pad_rank << (w_bits + 1)) | ((iota.astype(u32) & w_mask) << 1) \
+        | jnp.uint32(1)
 
-    One expansion + one sort serves every metric in ``metrics`` (the reference
-    runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
-    second-hop scan is shared and only the final formula differs).
-    Returns (scores [M, cap], ku [cap], kw [cap]).
+
+def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
+                       t_src_start, *, w_bits: int, n: int, maxf2: int,
+                       min_score):
+    """Shared reduce: single-key sort (degree payloads) → run boundaries →
+    count-by-run-length with killer-flag liveness → per-metric scores.
+
+    ``key`` = u_local << (w_bits+1) | w << 1 | real_flag; killers (flag 0) sort
+    to their run's head, so a run is alive iff its first element is real and the
+    common-neighbor count is simply the run length — no count payload.
     """
     i32 = jnp.int32
-    u32 = jnp.uint32
+    cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
-
     w_mask = jnp.uint32((1 << w_bits) - 1)
     pad_rank = (1 << (31 - w_bits)) - 1
 
-    def window(a):
-        return jax.lax.dynamic_slice(a, (t_start,), (cap,))
-
-    keyhi = window(slot_keyhi)
-    w = window(slot_w)
-    udeg = window(slot_udeg)
-    wdeg = window(slot_wdeg)
-    lanes = iota < (t_end - t_start)
-    key = keyhi.astype(u32) | (w.astype(u32) << 1)
-    pad_key = (jnp.uint32(pad_rank) << (w_bits + 1)) \
-        | ((iota.astype(u32) & w_mask) << 1) | jnp.uint32(1)
-    key = jnp.where(lanes, key, pad_key)
-
-    weighted = [m for m in metrics if m.needs_weight]
     if weighted:
-        middeg = window(slot_middeg)
-        real = lanes & ((keyhi & 1) == 1)
-        wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
-               for m in weighted]
-        key, udeg, wdeg, *wts = jax.lax.sort((key, udeg, wdeg, *wts), num_keys=1, is_stable=False)
+        key, udeg, wdeg, *wts = jax.lax.sort(
+            (key, udeg, wdeg, *wts), num_keys=1, is_stable=False)
     else:
-        key, udeg, wdeg = jax.lax.sort((key, udeg, wdeg), num_keys=1, is_stable=False)
+        key, udeg, wdeg = jax.lax.sort(
+            (key, udeg, wdeg), num_keys=1, is_stable=False)
 
     rb = key >> 1                                 # run id = (u_local, w)
     neq = rb[1:] != rb[:-1]
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
     # One max-scan carries both the run-start position and the first slot's
-    # real/killer flag: killers sort first, so a run is alive iff its first
-    # element is real (no segmented combine for count metrics).
+    # real/killer flag.
     flag = (key & 1).astype(i32)
     m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
     start = m >> 1
@@ -144,6 +131,48 @@ def tile_candidates_packed(
     return scores, ku, kw
 
 
+def tile_candidates_packed(
+    slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
+    t_start, t_end, t_src_start,
+    *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
+):
+    """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
+    every per-slot quantity (candidate w, key high bits, the three degrees) is a
+    dynamic-slice window read; degrees ride the key sort as payloads; AA/RA
+    weights are elementwise functions of deg(mid).
+
+    One expansion + one sort serves every metric in ``metrics`` (the reference
+    runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
+    second-hop scan is shared and only the final formula differs).
+    Returns (scores [M, cap], ku [cap], kw [cap]).
+    """
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
+
+    def window(a):
+        return jax.lax.dynamic_slice(a, (t_start,), (cap,))
+
+    keyhi = window(slot_keyhi)
+    w = window(slot_w)
+    udeg = window(slot_udeg)
+    wdeg = window(slot_wdeg)
+    lanes = iota < (t_end - t_start)
+    key = jnp.where(lanes, keyhi.astype(u32) | (w.astype(u32) << 1),
+                    _pad_key(iota, w_bits))
+
+    weighted = [m for m in metrics if m.needs_weight]
+    wts = []
+    if weighted:
+        middeg = window(slot_middeg)
+        real = lanes & ((keyhi & 1) == 1)
+        wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
+               for m in weighted]
+    return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
+                              t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
+                              min_score=min_score)
+
+
 def tile_candidates(
     offsets, indices, degrees, wt_tables,
     fe_src, fe_mid, fe_work, fe_cnt,
@@ -151,9 +180,15 @@ def tile_candidates(
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0,
 ):
-    """Edge-stream tile scoring: rebuild the slot mapping on device, two-key sort.
+    """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
+
+    Memory-light path for expansions too large to materialize (IHub-scale).
+    When ``w_bits > 0`` (the plan's source-span bound holds) the reduction uses
+    the same packed-key sort as the slot stream — degrees and AA/RA weights are
+    gathered pre-sort and ride as payloads.  ``w_bits == 0`` (very wide vertex
+    IDs) falls back to the two-int32-key sentinel sort.
     Returns (scores [M, cap], ku, kw).
-    (``w_bits``/``t_src_start`` accepted for signature parity; unused here.)"""
+    """
     i32 = jnp.int32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
     n = degrees.shape[0]
@@ -177,15 +212,32 @@ def tile_candidates(
     j = iota - eprefix[eloc]                    # j-th neighbor of mid
     w = indices[offsets[mid] + j]               # in-range: j < deg(mid)
     cnt = fe_cnt[t_start + eloc]
+    weighted = [m for m in metrics if m.needs_weight]
 
-    # Candidate filter ft: second-order neighbor beyond u (predict.hxx:221 "v>u").
+    if w_bits:
+        # --- packed-key reduction (shared with the slot stream) -------------
+        u32 = jnp.uint32
+        real = cnt > 0
+        key = ((u - t_src_start).astype(u32) << (w_bits + 1)) \
+            | (w.astype(u32) << 1) | real.astype(u32)
+        key = jnp.where(svalid, key, _pad_key(iota, w_bits))
+        udeg = degrees[jnp.clip(u, 0, n - 1)]
+        wdeg = degrees[jnp.clip(w, 0, n - 1)]
+        wts = []
+        if weighted:
+            midc = jnp.clip(mid, 0, n - 1)
+            wts = [jnp.where(svalid & real, wt_tables[m.name][midc],
+                             jnp.float32(0.0))
+                   for m in weighted]
+        return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
+                                  t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
+                                  min_score=min_score)
+
+    # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
     cand = svalid & (w > u)
     ku = jnp.where(cand, u, _SENTINEL)
     kw = jnp.where(cand, w, _SENTINEL)
     cnt = jnp.where(cand, cnt, 0)
-
-    # --- sort + segmented reduction (the "hash table") ----------------------
-    weighted = [m for m in metrics if m.needs_weight]
     if weighted:
         wts = [jnp.where(cnt > 0, wt_tables[m.name][mid], jnp.float32(0.0))
                for m in weighted]
@@ -268,8 +320,8 @@ def scan_tiles(
 
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
-                    metrics, cap, maxf2, min_score, w_bits):
-    if w_bits:
+                    metrics, cap, maxf2, min_score, w_bits, packed):
+    if packed:
         slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
 
@@ -289,13 +341,14 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                 fe_src, fe_mid, fe_work, fe_cnt,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
+                w_bits=w_bits,
             )
     return stream_fn
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits"),
+    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_tables,
@@ -303,6 +356,7 @@ def score_tiles(
     tile_start, tile_src_start,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
+    packed: bool = False,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -313,7 +367,7 @@ def score_tiles(
     metric name -> per-vertex table (may be empty when none are weighted)."""
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
-                                metrics, cap, maxf2, min_score, w_bits)
+                                metrics, cap, maxf2, min_score, w_bits, packed)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
         k, len(metrics))

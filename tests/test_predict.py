@@ -92,3 +92,42 @@ def test_repeat_timing(rng):
     g = random_graph(rng, n=80, avg_deg=4)
     res = predict_links(g, options=PredictOptions(max_edges=100, repeat=3))
     assert res.time_ms >= res.scoring_ms >= 0.0
+
+
+@pytest.mark.parametrize("metric", ["common_neighbors", "adamic_adar"])
+def test_edge_stream_keyed_path_vs_oracle(rng, metric):
+    # slot_budget=0 forces packed=False while the span bound (keyed) holds:
+    # exercises the edge-stream path with the packed-key sort.
+    import dataclasses
+
+    from linkpred_tpu.predict.plan import build_plan
+
+    g = random_graph(rng, n=150, avg_deg=5)
+    plan = build_plan(g, 0, cap=4096, slot_budget=0)
+    assert not plan.packed and plan.keyed
+    pairs = oracle_scores(g, metric, 0)
+    res = predict_links(g, metric=metric, min_degree1=0,
+                        options=PredictOptions(max_edges=10_000), plan=plan,
+                        cap=4096)
+    assert len(res) == min(10_000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
+def test_edge_stream_sentinel_path_vs_oracle(rng):
+    # keyed=False selects the two-key sentinel sort (wide-vertex-ID fallback).
+    import dataclasses
+
+    from linkpred_tpu.predict.plan import build_plan
+
+    g = random_graph(rng, n=120, avg_deg=5)
+    plan = build_plan(g, 4, cap=4096, slot_budget=0)
+    plan = dataclasses.replace(plan, keyed=False)
+    pairs = oracle_scores(g, "jaccard_coefficient", 4)
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=4,
+                        options=PredictOptions(max_edges=10_000), plan=plan,
+                        cap=4096)
+    assert len(res) == min(10_000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
