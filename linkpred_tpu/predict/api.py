@@ -143,7 +143,12 @@ def predict_links_multi(
     wt_tables = {} if plan.packed else {
         s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
         for s in specs if s.needs_weight}
-    w_bits = plan.w_bits if plan.keyed else 0
+    # Packed-key sort: always for the slot stream; for the edge stream the
+    # sentinel two-key sort measured faster on IHub workloads (A/B at RMAT-13:
+    # 2.85s vs 4.66s), so keyed-edge stays opt-in for future tuning.
+    import os as _os
+    edge_keyed = _os.environ.get("LINKPRED_EDGE_KEYED", "0") == "1"
+    w_bits = plan.w_bits if (plan.packed or (plan.keyed and edge_keyed)) else 0
     stream, tile_start, tss = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 

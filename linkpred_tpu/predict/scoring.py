@@ -193,10 +193,14 @@ def tile_candidates(
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
     n = degrees.shape[0]
 
+    def window(a):
+        # contiguous tile window as dynamic_slice — spelled a[t_start + iota]
+        # it lowers to a full gather (~10-30ms per 2^20 lanes; measured)
+        return jax.lax.dynamic_slice(a, (t_start,), (cap,))
+
     # --- edge window -------------------------------------------------------
-    eids = t_start + iota                       # global edge ids; fe_* are padded
-    evalid = eids < t_end
-    ework = jnp.where(evalid, fe_work[eids], 0)
+    evalid = iota < (t_end - t_start)
+    ework = jnp.where(evalid, window(fe_work), 0)
     eprefix = jnp.cumsum(ework) - ework         # exclusive slot prefix within tile
     total = eprefix[-1] + ework[-1]
 
@@ -205,13 +209,13 @@ def tile_candidates(
     starts = jnp.zeros((cap,), i32).at[pos].max(iota, mode="drop")
     eloc = cummax(starts)                       # local edge index per slot
 
-    # --- expansion ---------------------------------------------------------
+    # --- expansion (eloc-indexed reads gather within the sliced windows) ----
     svalid = iota < total
-    u = fe_src[t_start + eloc]
-    mid = fe_mid[t_start + eloc]
+    u = window(fe_src)[eloc]
+    mid = window(fe_mid)[eloc]
     j = iota - eprefix[eloc]                    # j-th neighbor of mid
     w = indices[offsets[mid] + j]               # in-range: j < deg(mid)
-    cnt = fe_cnt[t_start + eloc]
+    cnt = window(fe_cnt)[eloc]
     weighted = [m for m in metrics if m.needs_weight]
 
     if w_bits:

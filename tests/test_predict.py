@@ -95,13 +95,12 @@ def test_repeat_timing(rng):
 
 
 @pytest.mark.parametrize("metric", ["common_neighbors", "adamic_adar"])
-def test_edge_stream_keyed_path_vs_oracle(rng, metric):
-    # slot_budget=0 forces packed=False while the span bound (keyed) holds:
-    # exercises the edge-stream path with the packed-key sort.
-    import dataclasses
-
+def test_edge_stream_keyed_path_vs_oracle(rng, metric, monkeypatch):
+    # slot_budget=0 forces packed=False while the span bound (keyed) holds;
+    # LINKPRED_EDGE_KEYED exercises the packed-key sort on the edge stream.
     from linkpred_tpu.predict.plan import build_plan
 
+    monkeypatch.setenv("LINKPRED_EDGE_KEYED", "1")
     g = random_graph(rng, n=150, avg_deg=5)
     plan = build_plan(g, 0, cap=4096, slot_budget=0)
     assert not plan.packed and plan.keyed
@@ -116,14 +115,12 @@ def test_edge_stream_keyed_path_vs_oracle(rng, metric):
 
 
 def test_edge_stream_sentinel_path_vs_oracle(rng):
-    # keyed=False selects the two-key sentinel sort (wide-vertex-ID fallback).
-    import dataclasses
-
+    # the edge stream's default: two-key sentinel sort (measured faster for
+    # IHub workloads than the packed-key variant).
     from linkpred_tpu.predict.plan import build_plan
 
     g = random_graph(rng, n=120, avg_deg=5)
     plan = build_plan(g, 4, cap=4096, slot_budget=0)
-    plan = dataclasses.replace(plan, keyed=False)
     pairs = oracle_scores(g, "jaccard_coefficient", 4)
     res = predict_links(g, metric="jaccard_coefficient", min_degree1=4,
                         options=PredictOptions(max_edges=10_000), plan=plan,
