@@ -70,6 +70,7 @@ class ExperimentConfig:
     cap: int = 1 << 20            # scoring tile slot budget
     min_score: float = 0.0
     fused_metrics: bool = True    # one expansion+sort pass scores all metrics
+    jsonl: bool = False           # emit JSON-lines instead of the printf grammar
 
 
 def directed_pairs(pairs: np.ndarray, undirected: bool = False) -> np.ndarray:
@@ -187,9 +188,7 @@ def run_experiment(
                 # NOTE: the reference prints the deletion fraction in the "+" slot
                 # with 0.0 in the "-" slot (`main.cxx:199-206` passes insertionsf=
                 # deletionsf) — kept verbatim for process.js column parity.
-                emit(result_line(0.0, df, num_threads, res.time_ms,
-                                 res.scoring_ms, precision, recall, technique))
-                rows.append(dict(
+                row = dict(
                     batch_deletions_fraction=0.0,
                     batch_insertions_fraction=df,
                     num_threads=num_threads,
@@ -198,7 +197,16 @@ def run_experiment(
                     precision=precision,
                     recall=recall,
                     technique=technique,
-                ))
+                )
+                if cfg.jsonl:
+                    import json
+
+                    emit(json.dumps(row))
+                else:
+                    emit(result_line(0.0, df, num_threads, res.time_ms,
+                                     res.scoring_ms, precision, recall,
+                                     technique))
+                rows.append(row)
         plan_cache.clear()
 
     run_batches(g, rng, per_batch, cfg)

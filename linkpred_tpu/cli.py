@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cap", type=int, default=1 << 20,
                    help="scoring tile slot budget")
     p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--jsonl", action="store_true",
+                   help="emit JSON-lines result rows instead of the printf grammar")
     return p
 
 
@@ -91,6 +93,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         seed=args.seed,
         cap=args.cap,
         min_score=args.min_score,
+        jsonl=args.jsonl,
     )
     run_experiment(g, cfg)
     print()

@@ -177,3 +177,20 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert "predictLinksCommonNeighborsTpu0" in techniques
     assert "predictLinksAdamicAdarCoefficientTpu32" in techniques
     assert all(r["order"] == g.n for r in rows)
+
+
+def test_jsonl_output(rng):
+    import json
+
+    g = community_graph(rng, n_comm=3, size=12, p_in=0.7)
+    lines = []
+    cfg = ExperimentConfig(
+        repeat_batch=1, repeat_method=1,
+        deletions_begin=0.05, deletions_end=0.05,
+        metrics=("common_neighbors",), degrees=(0,), seed=1,
+        cap=1 << 14, jsonl=True)
+    run_experiment(g, cfg, emit=lines.append)
+    assert len(lines) == 1
+    row = json.loads(lines[0])
+    assert row["technique"] == "predictLinksCommonNeighborsTpu0"
+    assert 0.0 <= row["precision"] <= 1.0
