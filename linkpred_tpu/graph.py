@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "CSRGraph",
+    "GraphBuilder",
     "from_edges",
     "from_dense",
     "to_dense",
@@ -178,6 +179,60 @@ def from_dense(a: np.ndarray) -> CSRGraph:
     """Build from a dense boolean adjacency matrix (test helper)."""
     src, dst = np.nonzero(np.asarray(a))
     return from_edges(src, dst, n=a.shape[0])
+
+
+class GraphBuilder:
+    """Deferred-mutation builder with the reference's ``DiGraph`` workflow:
+    ``addEdge``/``removeEdge`` accumulate, ``update()`` commits
+    (`/root/reference/inc/Graph.hxx:228-284`, `inc/_bitset.hxx:227-289`).
+
+    The reference merges lazy deltas into per-vertex sorted bitsets in place;
+    here ``update`` is one functional rebuild (sort-based, last-op-wins per
+    directed pair) producing an immutable :class:`CSRGraph`.
+    """
+
+    def __init__(self, base: Optional[CSRGraph] = None, n: Optional[int] = None):
+        self._base = base
+        self._n = n if n is not None else (base.n if base is not None else 0)
+        self._add: list[tuple[int, int, float]] = []
+        self._rem: list[tuple[int, int]] = []
+
+    def add_edge(self, u: int, v: int, w: float = 1.0) -> "GraphBuilder":
+        self._n = max(self._n, int(u) + 1, int(v) + 1)
+        self._add.append((int(u), int(v), float(w)))
+        return self
+
+    def remove_edge(self, u: int, v: int) -> "GraphBuilder":
+        self._rem.append((int(u), int(v)))
+        return self
+
+    def respan(self, n: int) -> "GraphBuilder":
+        """Grow the vertex range (reference ``respan``, `Graph.hxx:258`)."""
+        self._n = max(self._n, int(n))
+        return self
+
+    def update(self) -> CSRGraph:
+        """Commit pending ops; removals win over prior edges, additions are
+        applied last (matching apply order of `batch.hxx:222-247`)."""
+        if self._base is not None:
+            src, dst = edge_list(self._base)
+        else:
+            src = np.empty(0, dtype=np.int64)
+            dst = np.empty(0, dtype=np.int64)
+        if self._rem:
+            rem = np.asarray(self._rem, dtype=np.int64).reshape(-1, 2)
+            hi = max(self._n, 1)
+            keys = src * hi + dst
+            rkeys = rem[:, 0] * hi + rem[:, 1]
+            keep = ~np.isin(keys, rkeys)
+            src, dst = src[keep], dst[keep]
+        if self._add:
+            add = np.asarray([(u, v) for u, v, _ in self._add], dtype=np.int64)
+            src = np.concatenate([src, add[:, 0]])
+            dst = np.concatenate([dst, add[:, 1]])
+        g = from_edges(src, dst, n=self._n)
+        self._base, self._add, self._rem = g, [], []
+        return g
 
 
 def to_dense(g: CSRGraph) -> np.ndarray:

@@ -146,3 +146,42 @@ def test_npz_roundtrip(rng, tmp_path):
     assert (g.n, g.m) == (h.n, h.m)
     np.testing.assert_array_equal(np.asarray(g.offsets), np.asarray(h.offsets))
     np.testing.assert_array_equal(np.asarray(g.indices), np.asarray(h.indices))
+
+
+def test_graph_builder_lazy_update():
+    from linkpred_tpu.graph import GraphBuilder
+
+    b = GraphBuilder()
+    g = (b.add_edge(0, 1).add_edge(1, 2).add_edge(0, 1)  # dup collapses
+         .update())
+    assert g.n == 3 and g.m == 2
+    assert g.has_edge(0, 1) and g.has_edge(1, 2)
+
+    b2 = GraphBuilder(base=g)
+    g2 = b2.remove_edge(0, 1).add_edge(2, 0).update()
+    assert not g2.has_edge(0, 1)
+    assert g2.has_edge(2, 0) and g2.m == 2
+
+    g3 = GraphBuilder(base=g2).respan(10).update()
+    assert g3.n == 10 and g3.m == 2
+
+
+def test_profiling_summarize(tmp_path):
+    import gzip
+    import json
+
+    from linkpred_tpu.utils.profiling import summarize_trace
+
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    events = {"traceEvents": [
+        {"ph": "X", "name": "sort.1", "dur": 5000},
+        {"ph": "X", "name": "sort.1", "dur": 3000},
+        {"ph": "X", "name": "fusion", "dur": 1000},
+        {"ph": "M", "name": "meta", "dur": 99999},
+    ]}
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(events, f)
+    top = summarize_trace(str(tmp_path))
+    assert top[0] == ("sort.1", 8.0)
+    assert top[1] == ("fusion", 1.0)
