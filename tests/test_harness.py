@@ -194,3 +194,34 @@ def test_jsonl_output(rng):
     row = json.loads(lines[0])
     assert row["technique"] == "predictLinksCommonNeighborsTpu0"
     assert 0.0 <= row["precision"] <= 1.0
+
+
+def test_batch_insertions_applied(rng):
+    from linkpred_tpu.ops.batch import (
+        apply_batch, generate_edge_insertions, tidy_batch)
+
+    g = random_graph(rng, n=80, avg_deg=4)
+    ins = generate_edge_insertions(rng, g, 30, undirected=True)
+    assert ins.shape[1] == 2 and ins.shape[0] == 60
+    dels, ins = tidy_batch(np.empty((0, 2), np.int64), ins, g)
+    # tidy keeps only non-existing pairs, sorted unique
+    for u, v in ins[:20]:
+        assert not g.has_edge(int(u), int(v))
+    y = apply_batch(g, dels, ins)
+    assert y.size == g.size + ins.shape[0]
+    for u, v in ins[:20]:
+        assert y.has_edge(int(u), int(v))
+
+
+def test_generate_edge_deletions_device(rng):
+    import jax
+
+    from linkpred_tpu.ops.batch import generate_edge_deletions_device
+
+    g = random_graph(rng, n=60, avg_deg=4)
+    pairs, valid = generate_edge_deletions_device(jax.random.PRNGKey(0), g, 32)
+    pairs, valid = np.asarray(pairs), np.asarray(valid)
+    assert pairs.shape == (32, 2)
+    for (u, v), ok in zip(pairs, valid):
+        if ok:
+            assert g.has_edge(int(u), int(v))
