@@ -128,3 +128,18 @@ def test_edge_stream_sentinel_path_vs_oracle(rng):
     assert len(res) == min(10_000, len(pairs))
     for u, v, s in zip(res.u, res.v, res.score):
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
+def test_maxfactor2_quirk_parity(rng):
+    # The reference's MAXFACTOR2 predicate self-compares deg(u)
+    # (predict.hxx:221,295): with maxf2=1 it keeps only pairs with
+    # deg(w) <= deg(u). Oracle implements the same quirk; engine must match.
+    g = random_graph(rng, n=120, avg_deg=5)
+    pairs = oracle_scores(g, "common_neighbors", 0, max_factor2=1)
+    res = predict_links(g, metric="common_neighbors", min_degree1=0,
+                        max_factor2=1,
+                        options=PredictOptions(max_edges=10_000), cap=4096)
+    assert len(res) == min(10_000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
