@@ -167,14 +167,15 @@ def predict_links_multi(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 t_starts, t_ends, t_srcs, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
-                w_bits=w_bits, packed=plan.packed, mesh=mesh, axis=axis,
+                w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
+                mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 tile_start, tss, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
-                w_bits=w_bits, packed=plan.packed,
+                w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
             )
         if plan.huge_src.size:
             huge_state["res"] = {

@@ -79,6 +79,7 @@ class TilePlan:
     total_slots: int      # expansion slots across tiles (incl. killer slots)
     huge_slots: int       # expansion slots routed to the huge-source path
     w_bits: int           # width of the w field in the packed sort key
+    deg16: bool           # True => all degrees < 2^16 (degree pair packs to one i32)
     keyed: bool           # True => tiles satisfy the packed-key source-span bound
     packed: bool          # True => slot stream precomputed (fast path)
     # Packed slot stream (None unless packed).  Everything the device pipeline
@@ -174,6 +175,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     # Packed-key sort (scoring.py): key = u_local << (w_bits+1) | w << 1 | real.
     # A tile's source-ID span must fit the high bits (top rank reserved for pads).
     w_bits = max(int(n).bit_length(), 1)
+    deg16 = bool(deg.max(initial=0) < (1 << 16))
     u_bits = 31 - w_bits
     keyed = u_bits >= 8                  # packed-key sort possible (span bound)
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
@@ -268,6 +270,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         total_slots=total_slots,
         huge_slots=huge_slots,
         w_bits=w_bits,
+        deg16=deg16,
         keyed=keyed,
         packed=packed,
         slot_w=slot_w,

@@ -80,13 +80,14 @@ def _pad_key(iota, w_bits):
 
 def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                        t_src_start, *, w_bits: int, n: int, maxf2: int,
-                       min_score):
+                       min_score, deg16: bool = False):
     """Shared reduce: single-key sort (degree payloads) → run boundaries →
     count-by-run-length with killer-flag liveness → per-metric scores.
 
     ``key`` = u_local << (w_bits+1) | w << 1 | real_flag; killers (flag 0) sort
     to their run's head, so a run is alive iff its first element is real and the
     common-neighbor count is simply the run length — no count payload.
+    ``deg16`` packs the degree pair into one int32 payload (fewer sort operands).
     """
     i32 = jnp.int32
     cap = key.shape[0]
@@ -94,7 +95,17 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
     w_mask = jnp.uint32((1 << w_bits) - 1)
     pad_rank = (1 << (31 - w_bits)) - 1
 
-    if weighted:
+    if deg16:
+        dpack = (udeg << 16) | wdeg
+        if weighted:
+            key, dpack, *wts = jax.lax.sort(
+                (key, dpack, *wts), num_keys=1, is_stable=False)
+        else:
+            key, dpack = jax.lax.sort(
+                (key, dpack), num_keys=1, is_stable=False)
+        udeg = dpack >> 16
+        wdeg = dpack & 0xFFFF
+    elif weighted:
         key, udeg, wdeg, *wts = jax.lax.sort(
             (key, udeg, wdeg, *wts), num_keys=1, is_stable=False)
     else:
@@ -135,6 +146,7 @@ def tile_candidates_packed(
     slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
     t_start, t_end, t_src_start,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
+    deg16: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
     every per-slot quantity (candidate w, key high bits, the three degrees) is a
@@ -170,7 +182,7 @@ def tile_candidates_packed(
                for m in weighted]
     return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                               t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                              min_score=min_score)
+                              min_score=min_score, deg16=deg16)
 
 
 def tile_candidates(
@@ -178,7 +190,7 @@ def tile_candidates(
     fe_src, fe_mid, fe_work, fe_cnt,
     t_start, t_end, t_src_start,
     *, metrics, cap: int, maxf2: int, min_score,
-    w_bits: int = 0,
+    w_bits: int = 0, deg16: bool = False,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
@@ -235,7 +247,7 @@ def tile_candidates(
                    for m in weighted]
         return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                                   t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                                  min_score=min_score)
+                                  min_score=min_score, deg16=deg16)
 
     # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
     cand = svalid & (w > u)
@@ -301,21 +313,37 @@ def scan_tiles(
     stream_fn, tile_start, tile_end, tile_src, k: int, num_metrics: int,
 ) -> TopK:
     """Run ``stream_fn(t_start, t_end, t_src) -> (scores [M, cap], u, v)`` over
-    all tiles under `lax.scan` with a sort-merged [M, k] top-k carry; empty tiles
-    skip via cond (set LINKPRED_TILE_COND=0 to run them unconditionally — for
-    profiling cond-branch compilation effects)."""
+    all tiles under `lax.scan` with a sort-merged [M, k] top-k carry.
+
+    Two runtime skips (both exactness-preserving):
+    * empty tiles (schedule padding) skip everything;
+    * tiles whose best score cannot beat any metric's current k-th score skip
+      the merge sort — the analog of the reference's heap-threshold test
+      (`predict.hxx:316,332`), and a large win once the carry saturates.
+    (Set LINKPRED_TILE_COND=0 to disable, for profiling cond effects.)
+    """
+
+    def work(carry: TopK, t_start, t_end, t_src):
+        scores, u, v = stream_fn(t_start, t_end, t_src)
+        needs = jnp.any(jnp.max(scores, axis=1) > carry.scores[:, -1])
+        return jax.lax.cond(
+            needs,
+            lambda c: _sort_merge(c, scores, u, v),
+            lambda c: c,
+            carry,
+        )
 
     def body(carry: TopK, ts):
         t_start, t_end, t_src = ts
         if _USE_COND:
             out = jax.lax.cond(
                 t_start < t_end,
-                lambda c: _sort_merge(c, *stream_fn(t_start, t_end, t_src)),
+                lambda c: work(c, t_start, t_end, t_src),
                 lambda c: c,
                 carry,
             )
         else:
-            out = _sort_merge(carry, *stream_fn(t_start, t_end, t_src))
+            out = work(carry, t_start, t_end, t_src)
         return out, None
 
     carry, _ = jax.lax.scan(
@@ -324,7 +352,8 @@ def scan_tiles(
 
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
-                    metrics, cap, maxf2, min_score, w_bits, packed):
+                    metrics, cap, maxf2, min_score, w_bits, packed,
+                    deg16=False):
     if packed:
         slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
@@ -334,7 +363,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                 slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, n=n,
+                w_bits=w_bits, n=n, deg16=deg16,
             )
     else:
         fe_src, fe_mid, fe_work, fe_cnt = stream
@@ -345,14 +374,15 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                 fe_src, fe_mid, fe_work, fe_cnt,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits,
+                w_bits=w_bits, deg16=deg16,
             )
     return stream_fn
 
 
 @partial(
     jax.jit,
-    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed"),
+    static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
+                     "deg16"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_tables,
@@ -360,7 +390,7 @@ def score_tiles(
     tile_start, tile_src_start,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
-    packed: bool = False,
+    packed: bool = False, deg16: bool = False,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -371,7 +401,8 @@ def score_tiles(
     metric name -> per-vertex table (may be empty when none are weighted)."""
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
-                                metrics, cap, maxf2, min_score, w_bits, packed)
+                                metrics, cap, maxf2, min_score, w_bits, packed,
+                                deg16)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
         k, len(metrics))
