@@ -9,13 +9,13 @@ vertices plus per-thread top-k heaps merged serially
   load-balances like ``schedule(dynamic)`` did;
 * each device scans its tiles under `lax.scan`, carrying a local top-k
   (the per-thread heap);
-* one ``all_gather`` of the k-sized buffers over ICI + a final ``lax.top_k``
-  replaces the serial k-way heap merge — O(k · n_devices) bytes on the wire,
-  independent of graph size.
+* one ``all_gather`` of the [M, k] buffers over ICI + per-metric 1-D
+  sort-merges replaces the serial k-way heap merge — O(M · k · n_devices)
+  bytes on the wire, independent of graph size.
 
-Graph arrays are replicated across the axis (neighbor lists are read-only here);
-for graphs beyond single-HBM capacity, shard the *plan* arrays by tile range and
-keep only boundary rows resident — see ``shard_plan_arrays``.
+Graph and plan arrays are replicated across the axis (read-only here); for
+graphs beyond single-HBM capacity, shard the plan's slot stream by tile range
+(tiles are already the unit of distribution) — round-2 work, see STATUS.md.
 """
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.topk import TopK
 from ..predict.metrics import METRICS
@@ -89,8 +89,8 @@ def score_tiles_sharded(
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
     Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
 
-    ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when ``w_bits > 0`` (packed
-    path) else ``(fe_src, fe_mid, fe_work, fe_cnt)`` — see `plan.py`.
+    ``stream`` is the plan's device stream (slot arrays when ``packed`` else
+    edge arrays) — see `plan.py`.
     ``tile_starts``/``tile_ends``/``tile_srcs`` must be length-multiple-of-mesh-
     size (see ``pad_tiles_for_mesh``).
     """

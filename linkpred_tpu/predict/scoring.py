@@ -16,16 +16,18 @@ This is the TPU-native re-expression of the reference's hot loop
 
 Two execution paths (chosen statically by the plan, see `plan.py`):
 
-* **Packed slot stream** (fast): the expansion is precomputed host-side; the device
-  does dynamic-slice → one neighbor gather → one single-operand uint32 sort → one
-  max-scan.  For the seven count metrics the common-neighbor count is simply the
-  *run length* (killers invalidate, never subtract), so the sort carries **no
-  payload**.  Performance note (measured on v5e): XLA's TPU sort degrades ~300x on
-  multi-key clustered input, and in-scan window reads with dynamic starts lower to
-  full gathers — both avoided here by construction.
+* **Packed slot stream** (fast): the expansion is precomputed host-side; the
+  device does dynamic-slice window reads → one single-key uint32 sort (degrees
+  ride as payloads; no gathers at all) → one max-scan.  The common-neighbor
+  count is the *run length* (killers invalidate, never subtract).  Performance
+  notes (measured on v5e): XLA's TPU sort degrades ~300x on multi-key clustered
+  input; in-scan indexed reads with dynamic starts lower to full gathers
+  (10-31 ms per 2^20 lanes); a batched [M, N] dimension-1 sort picks a T(1,128)
+  layout ~10x slower than 1-D sorts — all avoided here by construction.
 * **Edge stream** (memory-light fallback): the device rebuilds the slot mapping
-  (cumsum + scatter + max-scan) and sorts (u, w, cnt) with two int32 keys.  Used
-  for IHub-scale expansions where materializing slots would blow memory.
+  (cumsum + scatter + max-scan) and reduces via the sentinel two-key sort (or
+  the packed key with LINKPRED_EDGE_KEYED=1).  Used for IHub-scale expansions
+  where materializing slots would blow memory.
 
 Everything is static-shaped and jit-compiled once per (metric, cap, k, padded
 sizes) — the analog of the reference's template instantiation.
@@ -41,9 +43,8 @@ import jax.numpy as jnp
 
 from ..graph import CSRGraph
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
-from ..ops.topk import TopK, topk_from_candidates, topk_init, topk_merge
+from ..ops.topk import TopK
 from .metrics import METRICS, MetricSpec
-from .plan import TilePlan
 
 __all__ = ["score_tiles", "tile_candidates", "score_huge_sources_host"]
 
