@@ -1,9 +1,11 @@
-"""Top-k selection and merging.
+"""Top-k containers and selection helpers.
 
-Replaces the reference's per-thread bounded min-heaps + serial k-way max-heap merge
-(`/root/reference/inc/predict.hxx:309-337,440-459`) with `jax.lax.top_k` over
-concatenated buffers — per-tile candidates merge into a running top-k carry inside
-`lax.scan`, and per-device buffers merge with one more top_k after an all_gather.
+Replaces the reference's per-thread bounded min-heaps + serial k-way max-heap
+merge (`/root/reference/inc/predict.hxx:309-337,440-459`).  The scoring engine
+carries a :class:`TopK` per metric and merges with descending 1-D sorts (see
+`predict/scoring.py` — `lax.top_k` compiles pathologically inside `lax.scan`,
+and batched dimension-1 sorts pick a slow T(1,128) layout; these helpers remain
+for standalone/out-of-scan selection).
 """
 from __future__ import annotations
 
@@ -18,9 +20,9 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 class TopK(NamedTuple):
-    scores: jax.Array  # float32[k], -inf = empty slot
-    u: jax.Array       # int32[k]
-    v: jax.Array       # int32[k]
+    scores: jax.Array  # float32[..., k], -inf = empty slot
+    u: jax.Array       # int32[..., k]
+    v: jax.Array       # int32[..., k]
 
 
 def topk_init(k: int) -> TopK:
@@ -47,9 +49,10 @@ def topk_from_candidates(scores, u, v, k: int) -> TopK:
 
 
 def topk_merge(a: TopK, b: TopK) -> TopK:
-    """Exact merge of two top-k buffers (k = |a|)."""
+    """Exact merge of two top-k buffers (k = |a|) via one descending sort."""
     k = a.scores.shape[0]
-    scores = jnp.concatenate([a.scores, b.scores])
-    u = jnp.concatenate([a.u, b.u])
-    v = jnp.concatenate([a.v, b.v])
-    return topk_from_candidates(scores, u, v, k)
+    s2 = jnp.concatenate([a.scores, b.scores])
+    u2 = jnp.concatenate([a.u, b.u])
+    v2 = jnp.concatenate([a.v, b.v])
+    ns, u2, v2 = jax.lax.sort((-s2, u2, v2), num_keys=1, is_stable=False)
+    return TopK(-ns[:k], u2[:k], v2[:k])
