@@ -75,7 +75,7 @@ def pad_tiles_for_mesh(
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "mesh", "axis"),
+                     "deg16", "upper_only", "mesh", "axis"),
 )
 def score_tiles_sharded(
     offsets, indices, degrees, wt_tables,
@@ -83,7 +83,7 @@ def score_tiles_sharded(
     tile_starts, tile_ends, tile_srcs,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
-    packed: bool = False, deg16: bool = False,
+    packed: bool = False, deg16: bool = False, upper_only: bool = True,
     mesh: Mesh, axis: str = "workers",
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
@@ -102,7 +102,7 @@ def score_tiles_sharded(
                    wt_tables, stream, min_score):
         stream_fn = _make_stream_fn(
             offsets, indices, degrees, wt_tables, stream,
-            metrics, cap, maxf2, min_score, w_bits, packed, deg16)
+            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only)
         local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, k, len(metrics))
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)

@@ -72,11 +72,13 @@ class PlanCache:
     def __init__(self) -> None:
         self._cache: dict = {}
 
-    def get(self, g: CSRGraph, min_degree1: int, cap: int) -> TilePlan:
-        key = (id(g.offsets), id(g.indices), g.n, g.m, min_degree1, cap)
+    def get(self, g: CSRGraph, min_degree1: int, cap: int,
+            sources=None) -> TilePlan:
+        skey = None if sources is None else hash(np.asarray(sources).tobytes())
+        key = (id(g.offsets), id(g.indices), g.n, g.m, min_degree1, cap, skey)
         plan = self._cache.get(key)
         if plan is None:
-            plan = build_plan(g, min_degree1, cap)
+            plan = build_plan(g, min_degree1, cap, sources=sources)
             self._cache[key] = plan
         return plan
 
@@ -105,8 +107,13 @@ def predict_links_multi(
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
+    sources=None,
 ) -> dict:
     """Predict links for SEVERAL metrics in one fused pass.
+
+    ``sources``: optional vertex subset — serving mode: score only pairs whose
+    source is in the subset, over ALL second-order neighbors (directed
+    candidates, see `plan.build_plan`).
 
     The reference runs its 9 metrics as independent full scans
     (`main.cxx:212-220`); the expansion + sort + run reduction is metric-
@@ -132,9 +139,9 @@ def predict_links_multi(
 
     if plan is None:
         if plan_cache is not None:
-            plan = plan_cache.get(g, min_degree1, cap)
+            plan = plan_cache.get(g, min_degree1, cap, sources=sources)
         else:
-            plan = build_plan(g, min_degree1, cap)
+            plan = build_plan(g, min_degree1, cap, sources=sources)
 
     k = _next_pow2(min(max_edges, max(plan.total_slots, 1)))
     gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
@@ -168,7 +175,7 @@ def predict_links_multi(
                 t_starts, t_ends, t_srcs, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                mesh=mesh, axis=axis,
+                upper_only=plan.upper_only, mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
@@ -176,12 +183,13 @@ def predict_links_multi(
                 tile_start, tss, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
+                upper_only=plan.upper_only,
             )
         if plan.huge_src.size:
             huge_state["res"] = {
                 s.name: score_huge_sources_host(
                     g, plan.huge_src, s, min_degree1, max_factor2,
-                    o.min_score, k=max_edges)
+                    o.min_score, k=max_edges, upper_only=plan.upper_only)
                 for s in specs
             }
         return top
@@ -223,6 +231,7 @@ def predict_links(
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
+    sources=None,
 ) -> PredictResult:
     """Predict the top-``max_edges`` unobserved links of an undirected graph.
 
@@ -235,4 +244,5 @@ def predict_links(
     return predict_links_multi(
         g, (spec.name,), min_degree1=min_degree1, max_factor2=max_factor2,
         options=options, cap=cap, plan=plan, plan_cache=plan_cache, mesh=mesh,
+        sources=sources,
     )[spec.name]

@@ -79,6 +79,7 @@ class TilePlan:
     total_slots: int      # expansion slots across tiles (incl. killer slots)
     huge_slots: int       # expansion slots routed to the huge-source path
     w_bits: int           # width of the w field in the packed sort key
+    upper_only: bool      # True => score pairs w > u only (full-graph mode)
     deg16: bool           # True => all degrees < 2^16 (degree pair packs to one i32)
     keyed: bool           # True => tiles satisfy the packed-key source-span bound
     packed: bool          # True => slot stream precomputed (fast path)
@@ -130,7 +131,12 @@ class TilePlan:
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
                pad_tiles_pow2: bool = True,
-               slot_budget: int = SLOT_BUDGET) -> TilePlan:
+               slot_budget: int = SLOT_BUDGET,
+               sources: Optional[np.ndarray] = None) -> TilePlan:
+    """``sources``: optional vertex subset — restrict prediction to pairs whose
+    source is in the subset (serving mode: "top links for these vertices").
+    Restricted plans score DIRECTED candidates (s, w) for every second-order w,
+    not just w > s (``upper_only=False``)."""
     g = g.host()
     n = g.n
     deg = np.asarray(g.degrees, dtype=np.int64)
@@ -145,6 +151,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     keep = dmid > 0
     if min_degree1:
         keep &= dmid <= min_degree1
+    upper_only = sources is None
+    if sources is not None:
+        keep &= np.isin(src, np.asarray(sources, dtype=np.int64))
     src, mid = src[keep], mid[keep]
 
     # Killer pseudo-edges: one per active source, expanding over N(u) itself.
@@ -270,6 +279,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         total_slots=total_slots,
         huge_slots=huge_slots,
         w_bits=w_bits,
+        upper_only=upper_only,
         deg16=deg16,
         keyed=keyed,
         packed=packed,

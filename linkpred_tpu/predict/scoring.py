@@ -81,7 +81,7 @@ def _pad_key(iota, w_bits):
 
 def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                        t_src_start, *, w_bits: int, n: int, maxf2: int,
-                       min_score, deg16: bool = False):
+                       min_score, deg16: bool = False, upper_only: bool = True):
     """Shared reduce: single-key sort (degree payloads) → run boundaries →
     count-by-run-length with killer-flag liveness → per-metric scores.
 
@@ -134,8 +134,10 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
     rank = (key >> (w_bits + 1)).astype(i32)
     ku = t_src_start + rank
     kw = ((key >> 1) & w_mask).astype(i32)
-    # deferred candidate filter ft (predict.hxx:221 "v>u") + pad exclusion
-    valid = is_end & alive & (kw > ku) & (rank != pad_rank)
+    # deferred candidate filter ft (predict.hxx:221 "v>u"; source-restricted
+    # plans keep all directed second-order pairs) + pad exclusion
+    pair_ok = (kw > ku) if upper_only else (kw != ku)
+    valid = is_end & alive & pair_ok & (rank != pad_rank)
     ku = jnp.minimum(ku, n - 1)                   # pad ranks overflow vertex range
     kw = jnp.minimum(kw, n - 1)
     scores = _score_runs(metrics, udeg, wdeg, cnt_tot, wt_tots, valid,
@@ -147,7 +149,7 @@ def tile_candidates_packed(
     slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
     t_start, t_end, t_src_start,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-    deg16: bool = False,
+    deg16: bool = False, upper_only: bool = True,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
     every per-slot quantity (candidate w, key high bits, the three degrees) is a
@@ -183,7 +185,8 @@ def tile_candidates_packed(
                for m in weighted]
     return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                               t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                              min_score=min_score, deg16=deg16)
+                              min_score=min_score, deg16=deg16,
+                              upper_only=upper_only)
 
 
 def tile_candidates(
@@ -191,7 +194,7 @@ def tile_candidates(
     fe_src, fe_mid, fe_work, fe_cnt,
     t_start, t_end, t_src_start,
     *, metrics, cap: int, maxf2: int, min_score,
-    w_bits: int = 0, deg16: bool = False,
+    w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
@@ -248,10 +251,11 @@ def tile_candidates(
                    for m in weighted]
         return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
                                   t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                                  min_score=min_score, deg16=deg16)
+                                  min_score=min_score, deg16=deg16,
+                                  upper_only=upper_only)
 
     # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
-    cand = svalid & (w > u)
+    cand = svalid & ((w > u) if upper_only else (w != u))
     ku = jnp.where(cand, u, _SENTINEL)
     kw = jnp.where(cand, w, _SENTINEL)
     cnt = jnp.where(cand, cnt, 0)
@@ -354,7 +358,7 @@ def scan_tiles(
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
-                    deg16=False):
+                    deg16=False, upper_only=True):
     if packed:
         slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
@@ -364,7 +368,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                 slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, n=n, deg16=deg16,
+                w_bits=w_bits, n=n, deg16=deg16, upper_only=upper_only,
             )
     else:
         fe_src, fe_mid, fe_work, fe_cnt = stream
@@ -375,7 +379,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                 fe_src, fe_mid, fe_work, fe_cnt,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, deg16=deg16,
+                w_bits=w_bits, deg16=deg16, upper_only=upper_only,
             )
     return stream_fn
 
@@ -383,7 +387,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16"),
+                     "deg16", "upper_only"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_tables,
@@ -391,7 +395,7 @@ def score_tiles(
     tile_start, tile_src_start,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
-    packed: bool = False, deg16: bool = False,
+    packed: bool = False, deg16: bool = False, upper_only: bool = True,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -403,7 +407,7 @@ def score_tiles(
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
-                                deg16)
+                                deg16, upper_only)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
         k, len(metrics))
@@ -412,7 +416,7 @@ def score_tiles(
 def score_huge_sources_host(
     g: CSRGraph, huge_src: np.ndarray, metric: MetricSpec,
     min_degree1: int, maxf2: int, min_score: float,
-    k: Optional[int] = None,
+    k: Optional[int] = None, upper_only: bool = True,
 ):
     """Exact scoring for hub sources whose expansion exceeds one tile.
 
@@ -438,7 +442,7 @@ def score_huge_sources_host(
         step = np.arange(base.shape[0], dtype=np.int64) - np.repeat(
             np.cumsum(dm) - dm, dm)
         cand = indices[base + step]
-        sel = cand > u
+        sel = (cand > u) if upper_only else (cand != u)
         cand = cand[sel]
         cnt = np.bincount(cand, minlength=g.n).astype(np.int64)
         if metric.needs_weight:

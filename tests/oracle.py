@@ -12,8 +12,10 @@ from linkpred_tpu.graph import CSRGraph, to_dense
 
 
 def oracle_scores(g: CSRGraph, metric: str, min_degree1: int, max_factor2: int = 0,
-                  min_score: float = 0.0):
-    """Return dict {(u, v): score} over all valid candidate pairs (u < v)."""
+                  min_score: float = 0.0, sources=None):
+    """Return dict {(u, v): score} over all valid candidate pairs — upper
+    triangle (u < v) by default; with ``sources``, directed pairs (s, w) for
+    s in sources, w != s."""
     A = to_dense(g).astype(np.float64)
     n = g.n
     deg = A.sum(axis=1)
@@ -53,7 +55,12 @@ def oracle_scores(g: CSRGraph, metric: str, min_degree1: int, max_factor2: int =
         else:
             raise KeyError(metric)
 
-    valid = np.triu(np.ones((n, n), dtype=bool), k=1)  # w > u
+    if sources is None:
+        valid = np.triu(np.ones((n, n), dtype=bool), k=1)  # w > u
+    else:
+        valid = np.zeros((n, n), dtype=bool)
+        valid[np.asarray(sources, dtype=np.int64), :] = True
+        np.fill_diagonal(valid, False)                 # w != u
     valid &= ~(A > 0)                                  # not first-order
     valid &= cnt > 0                                   # touched candidates only
     if max_factor2:

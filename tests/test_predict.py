@@ -143,3 +143,37 @@ def test_maxfactor2_quirk_parity(rng):
     for u, v, s in zip(res.u, res.v, res.score):
         assert (int(u), int(v)) in pairs
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
+def test_source_restricted_prediction(rng):
+    # serving mode: predictions only for the requested sources, over ALL
+    # second-order neighbors (directed candidates)
+    g = random_graph(rng, n=150, avg_deg=5)
+    sources = np.array([3, 17, 42, 99])
+    pairs = oracle_scores(g, "jaccard_coefficient", 0, sources=sources)
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=0,
+                        options=PredictOptions(max_edges=10_000), cap=4096,
+                        sources=sources)
+    assert len(res) == min(10_000, len(pairs))
+    srcset = set(sources.tolist())
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert int(u) in srcset
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(res.score)[::-1], oracle_topk_scores(pairs, len(res)), rtol=1e-5)
+
+
+def test_source_restricted_multi(rng):
+    g = random_graph(rng, n=120, avg_deg=5)
+    sources = np.array([5, 60])
+    from linkpred_tpu import predict_links_multi
+
+    multi = predict_links_multi(
+        g, ("common_neighbors", "adamic_adar"), min_degree1=0,
+        options=PredictOptions(max_edges=500), cap=4096, sources=sources)
+    for name, res in multi.items():
+        pairs = oracle_scores(g, name, 0, sources=sources)
+        assert len(res) == min(500, len(pairs))
+        for u, v, s in zip(res.u, res.v, res.score):
+            assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
