@@ -40,13 +40,14 @@ class HeuristicPredictor:
 
     def predict(self, g: CSRGraph, max_edges: Optional[int] = None,
                 min_score: float = 0.0, repeat: int = 1,
-                mesh=None) -> PredictResult:
+                mesh=None, sources=None) -> PredictResult:
         return predict_links(
             g, metric=self.metric, min_degree1=self.min_degree1,
             max_factor2=self.max_factor2,
             options=PredictOptions(repeat=repeat, max_edges=max_edges,
                                    min_score=min_score),
             cap=self.cap, plan_cache=self.plan_cache, mesh=mesh,
+            sources=sources,
         )
 
 
