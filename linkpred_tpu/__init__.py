@@ -19,7 +19,8 @@ Layout (reference layer map in SURVEY.md §1):
 
 from .graph import CSRGraph, from_edges, from_dense, to_dense, edge_list
 from .predict.api import (
-    PredictOptions, PredictResult, predict_links, predict_links_multi, PlanCache)
+    PredictOptions, PredictResult, predict_links, predict_links_multi,
+    top_per_source, PlanCache)
 from .predict.metrics import METRICS, get_metric
 from .io.mtx import read_mtx, read_mtx_header, write_mtx
 
@@ -28,7 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "CSRGraph", "from_edges", "from_dense", "to_dense", "edge_list",
     "PredictOptions", "PredictResult", "predict_links", "predict_links_multi",
-    "PlanCache",
+    "top_per_source", "PlanCache",
     "METRICS", "get_metric",
     "read_mtx", "read_mtx_header", "write_mtx",
     "__version__",

@@ -21,7 +21,7 @@ from .plan import TilePlan, build_plan
 from .scoring import score_huge_sources_host, score_tiles
 
 __all__ = ["PredictOptions", "PredictResult", "predict_links",
-           "predict_links_multi", "PlanCache"]
+           "predict_links_multi", "top_per_source", "PlanCache"]
 
 _DEFAULT_MAX_EDGES = 1 << 20
 
@@ -246,3 +246,27 @@ def predict_links(
         options=options, cap=cap, plan=plan, plan_cache=plan_cache, mesh=mesh,
         sources=sources,
     )[spec.name]
+
+
+def top_per_source(result: PredictResult, k: int) -> PredictResult:
+    """Keep the best ``k`` predictions per source vertex (serving helper for
+    source-restricted results; the engine's top-k is global)."""
+    if len(result) == 0 or k <= 0:
+        empty = np.empty(0)
+        return PredictResult(empty.astype(np.int32), empty.astype(np.int32),
+                             empty.astype(np.float32),
+                             result.time_ms, result.scoring_ms)
+    # result.score is descending; a stable sort by u preserves per-source order.
+    order = np.argsort(result.u, kind="stable")
+    u, v, s = result.u[order], result.v[order], result.score[order]
+    is_first = np.empty(u.shape[0], dtype=bool)
+    is_first[0] = True
+    is_first[1:] = u[1:] != u[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(is_first, np.arange(u.shape[0]), 0))
+    rank = np.arange(u.shape[0]) - group_start
+    keep = rank < k
+    # restore global descending-score order
+    back = np.argsort(-s[keep], kind="stable")
+    return PredictResult(u=u[keep][back], v=v[keep][back], score=s[keep][back],
+                         time_ms=result.time_ms, scoring_ms=result.scoring_ms)

@@ -177,3 +177,21 @@ def test_source_restricted_multi(rng):
         assert len(res) == min(500, len(pairs))
         for u, v, s in zip(res.u, res.v, res.score):
             assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
+def test_top_per_source(rng):
+    from linkpred_tpu.predict.api import top_per_source
+
+    g = random_graph(rng, n=150, avg_deg=5)
+    sources = np.array([3, 17, 42])
+    res = predict_links(g, metric="common_neighbors", min_degree1=0,
+                        options=PredictOptions(max_edges=10_000), cap=4096,
+                        sources=sources)
+    per = top_per_source(res, 5)
+    # at most 5 per source, and each kept entry is among that source's best 5
+    for s_ in sources:
+        mine = per.score[per.u == s_]
+        alls = np.sort(res.score[res.u == s_])[::-1]
+        assert mine.shape[0] == min(5, alls.shape[0])
+        np.testing.assert_allclose(np.sort(mine)[::-1], alls[:mine.shape[0]])
+    assert np.all(np.diff(per.score) <= 1e-7)
