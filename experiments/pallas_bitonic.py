@@ -64,7 +64,7 @@ def _lower_mask(j, R):
     return (i & j) == 0
 
 
-def bitonic_stages(v, n, use_roll=False):
+def bitonic_stages(v, n, use_roll=False, payload=None):
     R = n // LANES
     k = 2
     while k <= n:
@@ -72,10 +72,38 @@ def bitonic_stages(v, n, use_roll=False):
         while j >= 1:
             vp = _partner(v, j, R, use_roll)
             take_min = _asc_mask(k, R) == _lower_mask(j, R)
+            if payload is not None:
+                pp = _partner(payload, j, R, use_roll)
+                # logical form: where() on i1 vectors trips Mosaic truncation
+                keep_own = (take_min & (v <= vp)) | (~take_min & (v >= vp))
+                payload = jnp.where(keep_own, payload, pp)
             v = jnp.where(take_min, jnp.minimum(v, vp), jnp.maximum(v, vp))
             j //= 2
         k *= 2
-    return v
+    return v if payload is None else (v, payload)
+
+
+def make_pallas_sort_kv(n, interpret):
+    def kernel(x_ref, p_ref, ok_ref, op_ref):
+        ok, op = bitonic_stages(x_ref[:], n, use_roll=not interpret,
+                                payload=p_ref[:])
+        ok_ref[:] = ok
+        op_ref[:] = op
+
+    @jax.jit
+    def f(x, p):
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((n // LANES, LANES), x.dtype),
+                       jax.ShapeDtypeStruct((n // LANES, LANES), p.dtype)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x, p)
+
+    return f
 
 
 def make_pallas_sort(n, interpret):
@@ -113,6 +141,45 @@ def main():
     print("sorted correctly:", ok)
     if not ok:
         sys.exit(1)
+
+    if "--payload" in sys.argv:
+        pay = np.arange(n, dtype=np.int32)
+        fkv = make_pallas_sort_kv(n, interpret=not on_tpu)
+        t0 = time.time()
+        ks, ps = jax.device_get(fkv(xj, jnp.asarray(pay).reshape(n // LANES, LANES)))
+        print(f"kv first call {time.time()-t0:.1f}s")
+        ks, ps = np.asarray(ks).reshape(-1), np.asarray(ps).reshape(-1)
+        kv_ok = bool((ks == np.sort(x)).all() and (x[ps] == ks).all())
+        print("kv sorted correctly:", kv_ok)
+        if on_tpu and kv_ok:
+            N = 8
+
+            @jax.jit
+            def rep_kv(seed, xj, pj):
+                def body(c, _):
+                    z = c.astype(jnp.int32) >> 31
+                    kk, pp = fkv(xj + z, pj)
+                    return c + kk[-1, -1].astype(jnp.float32) + pp[0, 0].astype(jnp.float32), None
+                r, _ = jax.lax.scan(body, seed, None, length=N)
+                return r
+
+            @jax.jit
+            def rep_xla_kv(seed, xf, pf):
+                def body(c, _):
+                    z = c.astype(jnp.int32) >> 31
+                    kk, pp = jax.lax.sort((xf + z, pf), num_keys=1, is_stable=False)
+                    return c + kk[-1].astype(jnp.float32) + pp[0].astype(jnp.float32), None
+                r, _ = jax.lax.scan(body, seed, None, length=N)
+                return r
+
+            pj = jnp.asarray(pay).reshape(n // LANES, LANES)
+            for name, fn, args in (("pallas kv", rep_kv, (xj, pj)),
+                                   ("lax.sort kv", rep_xla_kv,
+                                    (jnp.asarray(x), jnp.asarray(pay)))):
+                v = float(jax.device_get(fn(jnp.float32(0.0), *args)))
+                t0 = time.perf_counter()
+                v = float(jax.device_get(fn(jnp.float32(1.0), *args)))
+                print(f"{name}: {(time.perf_counter()-t0)*1e3/N:.2f} ms per 2^{log2n}")
     if on_tpu:
         # honest amortized timing vs lax.sort
         N = 8
