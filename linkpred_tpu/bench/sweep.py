@@ -100,11 +100,18 @@ def _ts() -> str:
 
 def _parse_synthetic(spec: str):
     kind, *params = spec.split(":")
-    if kind != "rmat":
-        raise ValueError(f"unknown synthetic spec {spec!r} (want rmat:scale:ef)")
-    scale = int(params[0]) if params else 16
-    ef = int(params[1]) if len(params) > 1 else 16
-    return f"rmat_s{scale}_e{ef}", rmat_graph(scale, edge_factor=ef)
+    if kind == "rmat":
+        scale = int(params[0]) if params else 16
+        ef = int(params[1]) if len(params) > 1 else 16
+        return f"rmat_s{scale}_e{ef}", rmat_graph(scale, edge_factor=ef)
+    if kind == "ppart":
+        from .synth import planted_partition_graph
+
+        nc = int(params[0]) if params else 64
+        sz = int(params[1]) if len(params) > 1 else 64
+        return f"ppart_c{nc}_s{sz}", planted_partition_graph(nc, sz)
+    raise ValueError(
+        f"unknown synthetic spec {spec!r} (want rmat:scale:ef or ppart:nc:size)")
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:

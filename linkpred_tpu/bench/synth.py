@@ -13,7 +13,7 @@ import numpy as np
 from ..graph import CSRGraph, from_edges
 from ..ops.transform import remove_self_loops, symmetrize
 
-__all__ = ["rmat_graph"]
+__all__ = ["rmat_graph", "planted_partition_graph"]
 
 
 def rmat_graph(
@@ -43,3 +43,32 @@ def rmat_graph(
     if symmetric:
         g = symmetrize(g)
     return remove_self_loops(g)
+
+
+def planted_partition_graph(
+    n_communities: int,
+    size: int,
+    p_in: float = 0.3,
+    p_out: float = 0.005,
+    seed: int = 42,
+) -> CSRGraph:
+    """Planted-partition (stochastic block) graph: dense communities with sparse
+    cross-links.  Unlike R-MAT, these have the local clustering that makes
+    removed edges recoverable — use for accuracy (F1) demonstrations.
+    """
+    rng = np.random.default_rng(seed)
+    n = n_communities * size
+    blocks = []
+    for c in range(n_communities):
+        base = c * size
+        u, v = np.nonzero(rng.random((size, size)) < p_in)
+        blocks.append(np.stack([base + u, base + v], axis=1))
+    # sparse cross-community noise
+    m_out = int(p_out * n * n)
+    if m_out:
+        u = rng.integers(0, n, m_out)
+        v = rng.integers(0, n, m_out)
+        blocks.append(np.stack([u, v], axis=1))
+    e = np.concatenate(blocks)
+    g = from_edges(e[:, 0], e[:, 1], n=n)
+    return remove_self_loops(symmetrize(g))

@@ -41,3 +41,9 @@ def test_sweep_resume_skips_done(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "skipping rmat_s8_e4" in out
     assert len((tmp_path / "sweep.log").read_text().splitlines()) == n_lines
+
+
+def test_parse_synthetic_ppart():
+    name, g = _parse_synthetic("ppart:4:20")
+    assert name == "ppart_c4_s20"
+    assert g.n == 80 and g.m > 0
