@@ -195,3 +195,27 @@ def test_top_per_source(rng):
         assert mine.shape[0] == min(5, alls.shape[0])
         np.testing.assert_allclose(np.sort(mine)[::-1], alls[:mine.shape[0]])
     assert np.all(np.diff(per.score) <= 1e-7)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_fuzz_random_configs(seed):
+    # randomized graph/config sweeps vs oracle — edge-case net
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 200))
+    avg = float(rng.uniform(2, 8))
+    g = random_graph(rng, n=n, avg_deg=avg)
+    metric = list(METRICS)[int(rng.integers(0, 9))]
+    deg = int(rng.choice([0, 2, 8, 32, 1024]))
+    cap = int(rng.choice([256, 1024, 4096]))
+    k = int(rng.integers(1, 5000))
+    min_score = float(rng.choice([0.0, 0.5]))
+    pairs = oracle_scores(g, metric, deg, min_score=min_score)
+    res = predict_links(g, metric=metric, min_degree1=deg,
+                        options=PredictOptions(max_edges=k, min_score=min_score),
+                        cap=cap)
+    assert len(res) == min(k, len(pairs)), (metric, deg, cap, k, n)
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(res.score)[::-1], oracle_topk_scores(pairs, len(res)), rtol=1e-5)
