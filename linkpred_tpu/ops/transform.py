@@ -20,6 +20,7 @@ __all__ = [
     "add_self_loops",
     "count_self_loops",
     "transpose",
+    "transpose_with_degree",
     "duplicate",
     "duplicate_if",
 ]
@@ -57,6 +58,14 @@ def transpose(g: CSRGraph) -> CSRGraph:
     src, dst = edge_list(g)
     w = None if g.weights is None else np.asarray(g.host().weights[: g.m])
     return from_edges(dst, src, n=g.n, weights=w)
+
+
+def transpose_with_degree(g: CSRGraph):
+    """Transpose and record each vertex's ORIGINAL out-degree (reference
+    ``transposeWithDegree``, `transpose.hxx:79-134`, where the degree becomes the
+    vertex value).  ``CSRGraph`` has no vertex-value field, so the degree vector
+    is returned alongside: ``(gT, out_degree_of_g)``."""
+    return transpose(g), np.asarray(g.host().degrees).copy()
 
 
 def duplicate(g: CSRGraph) -> CSRGraph:

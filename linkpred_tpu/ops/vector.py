@@ -10,6 +10,7 @@ here (functional: returns new arrays).  Scans/norms live in
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -37,8 +38,30 @@ def scatter_values(a, ids, x):
 
 
 def scatter_or(a, ids, x):
-    """``a[ids[i]] |= x[i]`` (`_vector.hxx:285-329`)."""
-    return a.at[ids].max(x) if a.dtype == jnp.bool_ else a.at[ids].set(a[ids] | x)
+    """``a[ids[i]] |= x[i]`` (`_vector.hxx:285-329`).
+
+    Duplicate ids OR-accumulate (the reference's atomic-free `|=` is idempotent
+    and order-independent, so all writers contribute).  Bool uses scatter-max;
+    integers sort by id and fold each run with a segmented OR scan — a plain
+    gather-then-set would keep only one writer's bits per id.
+    """
+    if a.dtype == jnp.bool_:
+        return a.at[ids].max(x)
+    order = jnp.argsort(ids)
+    sid, sx = ids[order], x[order]
+    neq = sid[1:] != sid[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
+
+    def comb(l, r):
+        lf, lv = l
+        rf, rv = r
+        return lf | rf, jnp.where(rf, rv, lv | rv)
+
+    _, acc = jax.lax.associative_scan(comb, (is_start, sx))
+    # run-end lanes carry the full OR of their id's values; other lanes drop
+    tgt = jnp.where(is_end, sid, a.shape[0])
+    return a.at[tgt].set(a[sid] | acc, mode="drop")
 
 
 def value_indices(x, n: int):

@@ -72,26 +72,30 @@ class PlanCache:
     def __init__(self) -> None:
         self._cache: dict = {}
 
+    def _entry(self, key, g: CSRGraph, build):
+        """``id()`` keys are only unique while the object is alive, so every
+        entry pins the keyed arrays: a later graph can never reuse a cached id
+        while its entry exists (stale-plan-after-GC trap)."""
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit[2]
+        value = build()
+        self._cache[key] = (g.offsets, g.indices, value)
+        return value
+
     def get(self, g: CSRGraph, min_degree1: int, cap: int,
             sources=None) -> TilePlan:
         skey = None if sources is None else hash(np.asarray(sources).tobytes())
         key = (id(g.offsets), id(g.indices), g.n, g.m, min_degree1, cap, skey)
-        plan = self._cache.get(key)
-        if plan is None:
-            plan = build_plan(g, min_degree1, cap, sources=sources)
-            self._cache[key] = plan
-        return plan
+        return self._entry(key, g,
+                           lambda: build_plan(g, min_degree1, cap, sources=sources))
 
     def device_graph(self, g: CSRGraph) -> CSRGraph:
         """Device copy of ``g``, uploaded once per graph (the CSR arrays are tens
         of MB; re-uploading per metric/threshold costs real wall-clock on
         relay-backed hosts)."""
         key = ("gdev", id(g.offsets), id(g.indices), g.n, g.m)
-        gd = self._cache.get(key)
-        if gd is None:
-            gd = g.device()
-            self._cache[key] = gd
-        return gd
+        return self._entry(key, g, g.device)
 
     def clear(self) -> None:
         self._cache.clear()

@@ -104,7 +104,10 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
         else:
             key, dpack = jax.lax.sort(
                 (key, dpack), num_keys=1, is_stable=False)
-        udeg = dpack >> 16
+        # Mask after the shift: for udeg >= 2^15 the pack sets the int32 sign
+        # bit and `>> 16` alone would sign-extend (40000 would come back as
+        # -25536, silently corrupting every degree-dependent metric).
+        udeg = (dpack >> 16) & 0xFFFF
         wdeg = dpack & 0xFFFF
     elif weighted:
         key, udeg, wdeg, *wts = jax.lax.sort(

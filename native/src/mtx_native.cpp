@@ -20,6 +20,16 @@ inline const char *skip_ws(const char *p, const char *end) {
   return p;
 }
 
+// Separator between fields of ONE record: spaces/tabs only.  A newline here
+// means the record is truncated — the caller must stop rather than silently
+// consuming the next line's first field (which would shift every subsequent
+// edge by one field).
+inline const char *skip_field_sep(const char *p, const char *end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r'))
+    ++p;
+  return p;
+}
+
 inline const char *skip_line(const char *p, const char *end) {
   while (p < end && *p != '\n')
     ++p;
@@ -92,22 +102,31 @@ int64_t lp_mtx_parse(const char *buf, int64_t len, int64_t max_rows, int ncols,
     const char *q = parse_i64(p, end, &a);
     if (q == p)
       break;
-    p = skip_ws(q, end);
+    p = skip_field_sep(q, end);
     q = parse_i64(p, end, &b);
     if (q == p)
-      break;
+      break;  // truncated record (newline or garbage before the 2nd field)
     p = q;
     src[rows] = a;
     dst[rows] = b;
     if (ncols >= 3) {
-      p = skip_ws(p, end);
+      p = skip_field_sep(p, end);
+      // strtod needs NUL termination; the mmapped buffer has none, so copy the
+      // bounded token instead of trusting bytes past `len`.
+      char tok[64];
+      int64_t tl = 0;
+      const char *t = p;
+      while (t < end && *t != ' ' && *t != '\t' && *t != '\r' && *t != '\n' &&
+             tl < 63)
+        tok[tl++] = *t++;
+      tok[tl] = '\0';
       char *after = nullptr;
-      double w = strtod(p, &after);
-      if (after == p)
-        break;
+      double w = strtod(tok, &after);
+      if (after == tok)
+        break;  // truncated record (no weight field)
       if (wts)
         wts[rows] = w;
-      p = after;
+      p += (after - tok);
       // ignore any 4th+ columns on the line
       while (p < end && *p != '\n')
         ++p;

@@ -1,0 +1,95 @@
+"""Regression tests for the round-1 advisor/judge findings.
+
+Covers: the deg16 degree-pair sign-extension bug (degrees in [2^15, 2^16)),
+PlanCache id-reuse pinning, integer scatter_or accumulation, the native MTX
+parser's truncated-record handling, and transpose_with_degree parity.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import random_graph
+
+from linkpred_tpu import PredictOptions, from_edges, predict_links, to_dense
+from linkpred_tpu.predict.api import PlanCache
+from linkpred_tpu.predict.plan import build_plan
+
+
+def test_deg16_high_degree_unpack():
+    # A hub of degree 40000 exercises the deg16 packed payload with the int32
+    # sign bit set: (40000 << 16) is negative, and an unmasked arithmetic
+    # unshift recovered deg(u) as -25536, corrupting every degree-dependent
+    # metric.  The pack's high half holds deg(u) of the pair's SOURCE, so the
+    # hub must take the LOWEST id: H(id 0) - 40000 leaves; A(id 1) - 10 leaves.
+    n_leaves = 40000
+    H, A = 0, 1
+    leaves = np.arange(2, 2 + n_leaves)
+    src = np.concatenate([np.full(n_leaves, H), leaves,
+                          np.full(10, A), leaves[:10]])
+    dst = np.concatenate([leaves, np.full(n_leaves, H),
+                          leaves[:10], np.full(10, A)])
+    g = from_edges(src, dst)
+    plan = build_plan(g, 64, cap=1 << 17)
+    assert plan.deg16, "test must exercise the deg16 packed-payload path"
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=64,
+                        options=PredictOptions(max_edges=1000), plan=plan)
+    got = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res.u, res.v, res.score)}
+    # (H, A) share the 10 leaves: Nuv=10, deg(H)=40000, deg(A)=10.
+    assert (H, A) in got, "pair lost — deg16 unpack corrupted deg(H)"
+    np.testing.assert_allclose(got[(H, A)], 10.0 / (40000 + 10 - 10), rtol=1e-5)
+
+
+def test_plancache_pins_keyed_arrays(rng):
+    # id()-keyed entries must hold strong refs to the keyed arrays, else a GC'd
+    # graph's id can be reused by a different graph and hit a stale plan.
+    g = random_graph(rng, n=60, avg_deg=4)
+    cache = PlanCache()
+    rc_off = sys.getrefcount(g.offsets)
+    plan = cache.get(g, 4, cap=4096)
+    assert sys.getrefcount(g.offsets) > rc_off, "cache entry must pin offsets"
+    assert cache.get(g, 4, cap=4096) is plan  # hit
+    gd = cache.device_graph(g)
+    assert cache.device_graph(g) is gd
+    # a structurally different graph of the same shape gets its own plan
+    g2 = random_graph(rng, n=60, avg_deg=4, seed_extra=7)
+    assert cache.get(g2, 4, cap=4096) is not plan
+
+
+def test_scatter_or_int_accumulates():
+    import jax.numpy as jnp
+
+    from linkpred_tpu.ops.vector import scatter_or
+
+    a = jnp.asarray([8, 8, 8, 8], dtype=jnp.int32)
+    ids = jnp.asarray([1, 1, 2, 1])
+    x = jnp.asarray([1, 2, 4, 16], dtype=jnp.int32)
+    # duplicate ids must OR-accumulate all writers, not keep one
+    np.testing.assert_array_equal(np.asarray(scatter_or(a, ids, x)),
+                                  [8, 8 | 1 | 2 | 16, 8 | 4, 8])
+
+
+def test_native_truncated_record_stops(tmp_path):
+    from linkpred_tpu.io.native import native_lib, parse_mtx_body
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    # "3" alone on a line: the parser must stop (or skip), NOT consume the next
+    # line's first field as this record's second field (which would shift every
+    # subsequent edge by one field).
+    src, dst, _ = parse_mtx_body(b"1 2\n3\n4 5\n", 10, False)
+    assert list(zip(src.tolist(), dst.tolist())) == [(1, 2)]
+    # weighted variant: missing third field also stops cleanly
+    src, dst, w = parse_mtx_body(b"1 2 0.5\n3 4\n5 6 1.5\n", 10, True)
+    assert list(zip(src.tolist(), dst.tolist())) == [(1, 2)]
+    np.testing.assert_allclose(w, [0.5])
+
+
+def test_transpose_with_degree(rng):
+    from linkpred_tpu.ops.transform import transpose_with_degree
+
+    g = random_graph(rng, n=40, avg_deg=3)
+    gt, deg = transpose_with_degree(g)
+    np.testing.assert_array_equal(to_dense(gt), to_dense(g).T)
+    np.testing.assert_array_equal(deg, np.asarray(g.degrees))
