@@ -5,7 +5,7 @@ from linkpred_tpu.predict.plan import build_plan
 
 g = rmat_graph(18, edge_factor=16, seed=42)
 plan = build_plan(g, 64, cap=1<<20)
-o = PredictOptions(repeat=1, max_edges=4096)
+o = PredictOptions(repeat=1, max_edges=int(os.environ.get("PROF_MAXE", "4096")))
 # warm up compile
 r = predict_links(g, metric="jaccard_coefficient", min_degree1=64, options=o, plan=plan)
 print("warm scoring_ms", r.scoring_ms, flush=True)

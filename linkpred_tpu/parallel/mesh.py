@@ -47,16 +47,21 @@ def pad_tiles_for_mesh(
     tile_edge_start: np.ndarray, n_devices: int,
     tile_src_start: Optional[np.ndarray] = None,
     empty_at: Optional[int] = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Split tile windows into per-device (starts, ends, src_starts) of shape
-    [T'], T' a multiple of ``n_devices``.  Padding tiles are empty windows
-    (start == end), so they skip via the scan's `lax.cond`."""
+    tile_tbl_start: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split tile windows into per-device (starts, ends, src_starts, tbl_starts)
+    of shape [T'], T' a multiple of ``n_devices``.  Padding tiles are empty
+    windows (start == end), so they skip via the scan's `lax.cond`."""
     starts = np.asarray(tile_edge_start[:-1], dtype=np.int32)
     ends = np.asarray(tile_edge_start[1:], dtype=np.int32)
     if tile_src_start is None:
         srcs = np.zeros_like(starts)
     else:
         srcs = np.asarray(tile_src_start[:-1], dtype=np.int32)
+    if tile_tbl_start is None:
+        tbls = np.zeros_like(starts)
+    else:
+        tbls = np.asarray(tile_tbl_start[: starts.shape[0]], dtype=np.int32)
     t = starts.shape[0]
     tp = ((t + n_devices - 1) // n_devices) * n_devices
     if tp != t:
@@ -64,27 +69,29 @@ def pad_tiles_for_mesh(
         starts = np.concatenate([starts, np.full(tp - t, fill, np.int32)])
         ends = np.concatenate([ends, np.full(tp - t, fill, np.int32)])
         srcs = np.concatenate([srcs, np.full(tp - t, srcs[-1] if t else 0, np.int32)])
+        tbls = np.concatenate([tbls, np.full(tp - t, tbls[-1] if t else 0, np.int32)])
     # Round-robin assignment: device d takes tiles d, d+D, d+2D, ... so each
     # device sees an even mix of early (dense-row) and late (sparse-row) tiles.
     starts = starts.reshape(-1, n_devices).T.reshape(-1)
     ends = ends.reshape(-1, n_devices).T.reshape(-1)
     srcs = srcs.reshape(-1, n_devices).T.reshape(-1)
-    return starts, ends, srcs
+    tbls = tbls.reshape(-1, n_devices).T.reshape(-1)
+    return starts, ends, srcs, tbls
 
 
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "mesh", "axis"),
+                     "deg16", "upper_only", "local_w", "mesh", "axis"),
 )
 def score_tiles_sharded(
     offsets, indices, degrees, wt_tables,
     stream,
-    tile_starts, tile_ends, tile_srcs,
+    tile_starts, tile_ends, tile_srcs, tile_tbls,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    mesh: Mesh, axis: str = "workers",
+    local_w: bool = False, mesh: Mesh, axis: str = "workers",
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
     Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
@@ -98,12 +105,14 @@ def score_tiles_sharded(
 
     metrics = tuple(METRICS[name] for name in metric_names)
 
-    def local_scan(tile_s, tile_e, tile_src, offsets, indices, degrees,
-                   wt_tables, stream, min_score):
+    def local_scan(tile_s, tile_e, tile_src, tile_tbl, offsets, indices,
+                   degrees, wt_tables, stream, min_score):
         stream_fn = _make_stream_fn(
             offsets, indices, degrees, wt_tables, stream,
-            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only)
-        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, k, len(metrics))
+            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only,
+            local_w)
+        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, tile_tbl,
+                           k, len(metrics), cap)
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)
         # leaves: [M, n_dev * k]; batched descending sort-merge back to [M, k]
@@ -119,12 +128,12 @@ def score_tiles_sharded(
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis),
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
                   rep, rep, rep,
                   jax.tree.map(lambda _: rep, wt_tables),
                   jax.tree.map(lambda _: rep, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )
-    return fn(tile_starts, tile_ends, tile_srcs, offsets, indices, degrees,
-              wt_tables, stream, min_score)
+    return fn(tile_starts, tile_ends, tile_srcs, tile_tbls, offsets, indices,
+              degrees, wt_tables, stream, min_score)

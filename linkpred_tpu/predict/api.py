@@ -18,7 +18,7 @@ from ..graph import CSRGraph
 from ..utils.timing import measure_duration
 from .metrics import METRICS, get_metric
 from .plan import TilePlan, build_plan
-from .scoring import score_huge_sources_host, score_tiles
+from .scoring import score_tiles
 
 __all__ = ["PredictOptions", "PredictResult", "predict_links",
            "predict_links_multi", "top_per_source", "PlanCache"]
@@ -147,11 +147,12 @@ def predict_links_multi(
         else:
             plan = build_plan(g, min_degree1, cap, sources=sources)
 
-    k = _next_pow2(min(max_edges, max(plan.total_slots, 1)))
+    k = _next_pow2(min(max_edges, max(plan.total_slots + plan.huge_slots, 1)))
     gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
-    # Weight tables feed only the edge-stream fallback; the packed path computes
+    hp = plan.huge_plan
+    # Weight tables feed only the edge-stream paths; the packed path computes
     # AA/RA weights elementwise from deg(mid).
-    wt_tables = {} if plan.packed else {
+    wt_tables = {} if (plan.packed and (hp is None or hp.packed)) else {
         s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
         for s in specs if s.needs_weight}
     # Packed-key sort: always for the slot stream; for the edge stream the
@@ -160,59 +161,76 @@ def predict_links_multi(
     import os as _os
     edge_keyed = _os.environ.get("LINKPRED_EDGE_KEYED", "0") == "1"
     w_bits = plan.w_bits if (plan.packed or (plan.keyed and edge_keyed)) else 0
-    stream, tile_start, tss = plan.device_stream()
+    stream, tile_start, tss, ttbl = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
-    huge_state = {}
     if mesh is not None:
         from ..parallel.mesh import pad_tiles_for_mesh, score_tiles_sharded
         axis = mesh.axis_names[0]
-        t_starts, t_ends, t_srcs = pad_tiles_for_mesh(
-            plan.tile_start, mesh.shape[axis], plan.tile_src_start)
-        t_starts, t_ends, t_srcs = (
-            jnp.asarray(t_starts), jnp.asarray(t_ends), jnp.asarray(t_srcs))
+        t_starts, t_ends, t_srcs, t_tbls = pad_tiles_for_mesh(
+            plan.tile_start, mesh.shape[axis], plan.tile_src_start,
+            tile_tbl_start=plan.tile_tbl_start)
+        t_starts, t_ends, t_srcs, t_tbls = (
+            jnp.asarray(t_starts), jnp.asarray(t_ends), jnp.asarray(t_srcs),
+            jnp.asarray(t_tbls))
 
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
-                t_starts, t_ends, t_srcs, min_score,
+                t_starts, t_ends, t_srcs, t_tbls, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only, mesh=mesh, axis=axis,
+                upper_only=plan.upper_only, local_w=plan.local_w,
+                mesh=mesh, axis=axis,
             )
         else:
             top = score_tiles(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
-                tile_start, tss, min_score,
+                tile_start, tss, ttbl, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only,
+                upper_only=plan.upper_only, local_w=plan.local_w,
             )
-        if plan.huge_src.size:
-            huge_state["res"] = {
-                s.name: score_huge_sources_host(
-                    g, plan.huge_src, s, min_degree1, max_factor2,
-                    o.min_score, k=max_edges, upper_only=plan.upper_only)
-                for s in specs
-            }
-        return top
+        if hp is None:
+            return (top,)
+        # Device-side hub pass: same engine, hub-sized tiles (the reference
+        # keeps every source in the parallel loop, predict.hxx:287-288; the
+        # dense host scorer survives only as a test oracle).
+        h_stream, h_tile_start, h_tss, h_ttbl = hp.device_stream()
+        top_h = score_tiles(
+            gd.offsets, gd.indices, gd.degrees, wt_tables, h_stream,
+            h_tile_start, h_tss, h_ttbl, min_score,
+            metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
+            w_bits=hp.w_bits if hp.packed else 0, packed=hp.packed,
+            deg16=hp.deg16, upper_only=hp.upper_only, local_w=hp.local_w,
+        )
+        return (top, top_h)
 
-    ts, top = measure_duration(run_scoring, repeat=o.repeat)
+    ts, tops = measure_duration(run_scoring, repeat=o.repeat)
+    top, top_h = (tops[0], tops[1] if len(tops) > 1 else None)
 
     results = {}
     for i, name in enumerate(names):
+        def fetch(t, p, i):
+            scores = np.asarray(t.scores[i])
+            us = np.asarray(t.u[i])
+            vs = np.asarray(t.v[i])
+            valid = np.isfinite(scores)
+            scores, us, vs = scores[valid], us[valid], vs[valid]
+            if p.local_w:
+                # engine v is a tile-group id; decode to the vertex id
+                vs = p.w_table[
+                    np.clip(vs, 0, p.w_table.shape[0] - 1)].astype(np.int32)
+            return scores, us, vs
+
         def finalize(i=i, name=name):
-            scores = np.asarray(top.scores[i])
-            us = np.asarray(top.u[i])
-            vs = np.asarray(top.v[i])
-            if plan.huge_src.size:
-                hs, hu, hv = huge_state["res"][name]
+            scores, us, vs = fetch(top, plan, i)
+            if top_h is not None:
+                hs, hu, hv = fetch(top_h, hp, i)
                 scores = np.concatenate([scores, hs])
                 us = np.concatenate([us, hu])
                 vs = np.concatenate([vs, hv])
-            valid = np.isfinite(scores)
-            scores, us, vs = scores[valid], us[valid], vs[valid]
             order = np.argsort(-scores, kind="stable")[:max_edges]
             return us[order], vs[order], scores[order]
 

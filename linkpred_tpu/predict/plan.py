@@ -69,7 +69,8 @@ class TilePlan:
     # Edge stream (always built; the packed path uses it only for planning):
     fe_src: np.ndarray    # int32[M1_pad] source vertex per edge
     fe_mid: np.ndarray    # int32[M1_pad] intermediate vertex (== src for killers)
-    fe_work: np.ndarray   # int32[M1_pad] = deg(mid); 0 in padding
+    fe_work: np.ndarray   # int32[M1_pad] = #neighbors of mid expanded; 0 in padding
+    fe_skip: np.ndarray   # int32[M1_pad] leading neighbors of mid skipped (w <= u)
     fe_cnt: np.ndarray    # int32[M1_pad] per-slot count contribution: +1 or KILL
     tile_edge_start: np.ndarray  # int32[T_pad + 1]; tile t covers edges [t, t+1)
     tile_src_start: np.ndarray   # int32[T_pad + 1]; first source vertex of tile t
@@ -83,6 +84,10 @@ class TilePlan:
     deg16: bool           # True => all degrees < 2^16 (degree pair packs to one i32)
     keyed: bool           # True => tiles satisfy the packed-key source-span bound
     packed: bool          # True => slot stream precomputed (fast path)
+    local_w: bool = False  # True => slot_w holds tile-local candidate ids; the
+    #                        engine reports group ids decoded via ``w_table``
+    huge_plan: Optional["TilePlan"] = None  # device sub-plan for hub sources
+    #                        whose expansion exceeds one ``cap`` tile
     # Packed slot stream (None unless packed).  Everything the device pipeline
     # needs is precomputed per slot, so tiles run with ZERO full-table gathers
     # (measured: in-scan gathers cost 10-31 ms per 2^20 lanes; dynamic-slice
@@ -93,6 +98,8 @@ class TilePlan:
     slot_wdeg: Optional[np.ndarray] = None   # int32[S_pad] deg(w)
     slot_middeg: Optional[np.ndarray] = None  # int32[S_pad] deg(mid) (AA/RA wts)
     tile_slot_start: Optional[np.ndarray] = None  # int32[T_pad + 1]
+    w_table: Optional[np.ndarray] = None     # int64[G] group id -> vertex (local_w)
+    tile_tbl_start: Optional[np.ndarray] = None  # int32[T_pad] first group per tile
     # Memoized device copies (mutable contents of a frozen dataclass — not part
     # of equality/pytree; streams are hundreds of MB, so re-uploading per call
     # through the host link costs seconds).
@@ -123,20 +130,31 @@ class TilePlan:
                                jnp.asarray(self.slot_middeg))
             else:
                 d["stream"] = (jnp.asarray(self.fe_src), jnp.asarray(self.fe_mid),
-                               jnp.asarray(self.fe_work), jnp.asarray(self.fe_cnt))
+                               jnp.asarray(self.fe_work), jnp.asarray(self.fe_skip),
+                               jnp.asarray(self.fe_cnt))
             d["tile_start"] = jnp.asarray(self.tile_start)
             d["tile_src_start"] = jnp.asarray(self.tile_src_start)
-        return d["stream"], d["tile_start"], d["tile_src_start"]
+            tbl = self.tile_tbl_start
+            if tbl is None:
+                tbl = np.zeros(self.num_tiles_padded, dtype=np.int32)
+            d["tile_tbl_start"] = jnp.asarray(tbl)
+        return (d["stream"], d["tile_start"], d["tile_src_start"],
+                d["tile_tbl_start"])
 
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
                pad_tiles_pow2: bool = True,
                slot_budget: int = SLOT_BUDGET,
-               sources: Optional[np.ndarray] = None) -> TilePlan:
+               sources: Optional[np.ndarray] = None,
+               _keep_src: Optional[np.ndarray] = None,
+               _allow_huge: bool = True) -> TilePlan:
     """``sources``: optional vertex subset — restrict prediction to pairs whose
     source is in the subset (serving mode: "top links for these vertices").
     Restricted plans score DIRECTED candidates (s, w) for every second-order w,
-    not just w > s (``upper_only=False``)."""
+    not just w > s (``upper_only=False``).
+
+    ``_keep_src``/``_allow_huge`` are internal: the huge-hub sub-plan restricts
+    to the hub sources WITHOUT flipping to directed-candidate semantics."""
     g = g.host()
     n = g.n
     deg = np.asarray(g.degrees, dtype=np.int64)
@@ -154,40 +172,99 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     upper_only = sources is None
     if sources is not None:
         keep &= np.isin(src, np.asarray(sources, dtype=np.int64))
+    if _keep_src is not None:
+        keep &= np.isin(src, np.asarray(_keep_src, dtype=np.int64))
     src, mid = src[keep], mid[keep]
 
-    # Killer pseudo-edges: one per active source, expanding over N(u) itself.
+    # Candidate prefilter at expansion time (full-graph mode): the reference
+    # applies ft = "w > u" inside the scan (predict.hxx:221); adjacency rows are
+    # sorted, so the surviving neighbors of each mid are a contiguous TAIL and
+    # the skip count has a closed form over the globally-sorted (src, dst) edge
+    # keys.  This halves the slot stream for symmetric graphs — the device sorts
+    # half the data for identical results.
+    if upper_only and src.size:
+        gkeys = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
+                 + indices[: g.m])
+        skip = np.searchsorted(gkeys, mid * n + src, side="right") - offsets64[mid]
+        nz = deg[mid] - skip > 0
+        src, mid, skip = src[nz], mid[nz], skip[nz]
+    else:
+        gkeys = None
+        skip = np.zeros(src.shape[0], dtype=np.int64)
+
+    # Killer pseudo-edges: one per active source, expanding over N(u) itself
+    # (tail > u only, same prefilter).
     uniq = np.unique(src)
-    src = np.concatenate([src, uniq])
-    mid = np.concatenate([mid, uniq])
+    if upper_only and uniq.size:
+        kskip = np.searchsorted(gkeys, uniq * n + uniq, side="right") \
+            - offsets64[uniq]
+        knz = deg[uniq] - kskip > 0
+        kuniq, kskip = uniq[knz], kskip[knz]
+    else:
+        kuniq = uniq
+        kskip = np.zeros(uniq.shape[0], dtype=np.int64)
+    src = np.concatenate([src, kuniq])
+    mid = np.concatenate([mid, kuniq])
+    skip = np.concatenate([skip, kskip])
     real = np.concatenate([
-        np.ones(src.shape[0] - uniq.shape[0], dtype=bool),
-        np.zeros(uniq.shape[0], dtype=bool),
+        np.ones(src.shape[0] - kuniq.shape[0], dtype=bool),
+        np.zeros(kuniq.shape[0], dtype=bool),
     ])
     order = np.lexsort((mid, src))
-    src, mid, real = src[order], mid[order], real[order]
-    work = deg[mid]
+    src, mid, real, skip = src[order], mid[order], real[order], skip[order]
+    work = deg[mid] - skip
 
     # Per-source slot counts; sources too big for one tile go to the dense path.
     w_u = np.bincount(src, weights=work.astype(np.float64), minlength=n).astype(np.int64)
     huge_src = np.nonzero(w_u > cap)[0]
     huge_slots = int(w_u[huge_src].sum())
+    huge_plan = None
     if huge_src.size:
         not_huge = ~np.isin(src, huge_src)
-        src, mid, real, work = src[not_huge], mid[not_huge], real[not_huge], work[not_huge]
+        src, mid, real, work, skip = (src[not_huge], mid[not_huge],
+                                      real[not_huge], work[not_huge],
+                                      skip[not_huge])
+        w_u_max = int(w_u[huge_src].max())
         w_u = w_u.copy()
         w_u[huge_src] = 0
+        if _allow_huge:
+            # Device-side huge-hub path: the same tile machinery with a cap
+            # large enough to hold the biggest hub's expansion in one tile —
+            # the reference keeps every source in its parallel loop
+            # (predict.hxx:287-288); here the hubs get their own jit variant.
+            huge_plan = build_plan(
+                g, min_degree1, cap=_next_pow2(w_u_max),
+                pad_tiles_pow2=pad_tiles_pow2, slot_budget=slot_budget,
+                sources=sources, _keep_src=huge_src, _allow_huge=False)
 
     m1 = src.shape[0]
     total_slots = int(work.sum())
 
     # Packed-key sort (scoring.py): key = u_local << (w_bits+1) | w << 1 | real.
     # A tile's source-ID span must fit the high bits (top rank reserved for pads).
-    w_bits = max(int(n).bit_length(), 1)
+    # When vertex ids are too wide (n >= 2^23 — the sk-2005 class), candidates
+    # are REMAPPED per tile to dense local ids: distinct candidates per tile are
+    # bounded by the tile's slot count <= cap, so log2(cap) bits always suffice
+    # and the packed single-key sort works at ANY graph scale.  The device then
+    # reports encoded group ids (tile_tbl_start + w_local) decoded through
+    # ``w_table`` after the top-k merge (full-graph mode only; restricted-source
+    # plans fall back to the sentinel edge stream at this scale).
     deg16 = bool(deg.max(initial=0) < (1 << 16))
+    w_bits = max(int(n).bit_length(), 1)
+    local_w = False
+    if 31 - w_bits < 8 and upper_only:
+        wl_bits = max(int(cap - 1).bit_length(), 1)
+        if 31 - wl_bits >= 8:
+            w_bits = wl_bits
+            local_w = True
     u_bits = 31 - w_bits
     keyed = u_bits >= 8                  # packed-key sort possible (span bound)
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
+    if local_w and not packed:
+        local_w = False                  # remap needs the materialized stream
+        w_bits = max(int(n).bit_length(), 1)
+        u_bits = 31 - w_bits
+        keyed = False
     span_max = (1 << u_bits) - 2 if keyed else n
 
     # Source-aligned greedy partition: tile boundaries at row starts, each tile's
@@ -228,14 +305,18 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     fe_src = np.zeros(m1_pad, dtype=np.int32)
     fe_mid = np.zeros(m1_pad, dtype=np.int32)
     fe_work = np.zeros(m1_pad, dtype=np.int32)
+    fe_skip = np.zeros(m1_pad, dtype=np.int32)
     fe_cnt = np.zeros(m1_pad, dtype=np.int32)
     fe_src[:m1] = src
     fe_mid[:m1] = mid
     fe_work[:m1] = work
+    fe_skip[:m1] = skip
     fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
 
     slot_w = slot_keyhi = slot_udeg = slot_wdeg = slot_middeg = None
     tile_slot_start = None
+    w_table = None
+    tile_tbl_start = np.zeros(t_pad, dtype=np.int32)
     if packed and starts:
         # --- host-side slot expansion (one np.repeat pass over the stream) ----
         work32 = work.astype(np.int64)
@@ -243,20 +324,47 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
         s_iota = np.arange(total_slots, dtype=np.int64)
         j = s_iota - eprefix[eloc]
-        adr = offsets64[mid][eloc] + j
+        adr = offsets64[mid][eloc] + skip[eloc] + j
         wv = indices[adr]
         # tile of each edge -> u_local relative to its tile's first source
         starts_arr = np.asarray(starts, dtype=np.int64)
         tile_of_edge = np.searchsorted(starts_arr, src, side="right") - 1
         ul_edge = src - starts_arr[tile_of_edge]
         keyhi_edge = (ul_edge.astype(np.uint32) << np.uint32(w_bits + 1)) | real.astype(np.uint32)
+        if local_w:
+            # Dense per-tile candidate ids: sort slots by (tile, w), rank the
+            # distinct values, scatter ranks back to stream order.  ``w_table``
+            # maps the global group id (tile_tbl_start[t] + w_local) back to the
+            # vertex id — applied host-side to the k merged winners only.
+            tile_of_slot = tile_of_edge.repeat(work32)
+            order2 = np.lexsort((wv, tile_of_slot))
+            tw, ww = tile_of_slot[order2], wv[order2]
+            new_grp = np.empty(total_slots, dtype=bool)
+            new_grp[0] = True
+            np.logical_or(tw[1:] != tw[:-1], ww[1:] != ww[:-1], out=new_grp[1:])
+            gid_sorted = np.cumsum(new_grp) - 1
+            n_groups = int(gid_sorted[-1]) + 1
+            w_table = np.zeros(max(n_groups, 1), dtype=np.int64)
+            w_table[gid_sorted[new_grp]] = ww[new_grp]
+            # first group id of each tile (slots are sorted by tile)
+            tile_start_mask = np.concatenate([[True], tw[1:] != tw[:-1]])
+            tile_first = np.zeros(num_tiles, dtype=np.int64)
+            tile_first[tw[tile_start_mask]] = gid_sorted[tile_start_mask]
+            gid = np.empty(total_slots, dtype=np.int64)
+            gid[order2] = gid_sorted
+            wl = gid - tile_first[tile_of_slot]
+            assert int(wl.max(initial=0)) < (1 << w_bits)
+            wv_key = wl
+            tile_tbl_start[:num_tiles] = tile_first
+        else:
+            wv_key = wv
         s_pad = _next_pow2(total_slots + cap)
         slot_w = np.zeros(s_pad, dtype=np.int32)
         slot_keyhi = np.zeros(s_pad, dtype=np.int32)
         slot_udeg = np.zeros(s_pad, dtype=np.int32)
         slot_wdeg = np.zeros(s_pad, dtype=np.int32)
         slot_middeg = np.zeros(s_pad, dtype=np.int32)
-        slot_w[:total_slots] = wv
+        slot_w[:total_slots] = wv_key
         slot_keyhi[:total_slots] = np.repeat(keyhi_edge, work32).view(np.int32)
         slot_udeg[:total_slots] = np.repeat(deg[src], work32)
         slot_wdeg[:total_slots] = deg[wv]
@@ -265,11 +373,16 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         tile_slot_start[: num_tiles + 1] = row_prefix[bounds]
     elif packed:
         packed = False
+        if local_w:
+            local_w = False
+            w_bits = max(int(n).bit_length(), 1)
+            keyed = False
 
     return TilePlan(
         fe_src=fe_src,
         fe_mid=fe_mid,
         fe_work=fe_work,
+        fe_skip=fe_skip,
         fe_cnt=fe_cnt,
         tile_edge_start=tile_edge_start,
         tile_src_start=tile_src_start,
@@ -283,6 +396,10 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         deg16=deg16,
         keyed=keyed,
         packed=packed,
+        local_w=local_w,
+        huge_plan=huge_plan,
+        w_table=w_table,
+        tile_tbl_start=tile_tbl_start,
         slot_w=slot_w,
         slot_keyhi=slot_keyhi,
         slot_udeg=slot_udeg,

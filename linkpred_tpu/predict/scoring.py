@@ -80,8 +80,9 @@ def _pad_key(iota, w_bits):
 
 
 def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
-                       t_src_start, *, w_bits: int, n: int, maxf2: int,
-                       min_score, deg16: bool = False, upper_only: bool = True):
+                       t_src_start, t_tbl=0, *, w_bits: int, n: int, maxf2: int,
+                       min_score, deg16: bool = False, upper_only: bool = True,
+                       local_w: bool = False):
     """Shared reduce: single-key sort (degree payloads) → run boundaries →
     count-by-run-length with killer-flag liveness → per-metric scores.
 
@@ -137,12 +138,20 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
     rank = (key >> (w_bits + 1)).astype(i32)
     ku = t_src_start + rank
     kw = ((key >> 1) & w_mask).astype(i32)
-    # deferred candidate filter ft (predict.hxx:221 "v>u"; source-restricted
-    # plans keep all directed second-order pairs) + pad exclusion
-    pair_ok = (kw > ku) if upper_only else (kw != ku)
-    valid = is_end & alive & pair_ok & (rank != pad_rank)
-    ku = jnp.minimum(ku, n - 1)                   # pad ranks overflow vertex range
-    kw = jnp.minimum(kw, n - 1)
+    if local_w:
+        # kw is a tile-local candidate id; report the global GROUP id (decoded
+        # to a vertex via the plan's w_table after the top-k merge).  The plan
+        # prefilters w > u, so no pair check is possible or needed here.
+        valid = is_end & alive & (rank != pad_rank)
+        ku = jnp.minimum(ku, n - 1)
+        kw = t_tbl + kw
+    else:
+        # deferred candidate filter ft (predict.hxx:221 "v>u"; source-restricted
+        # plans keep all directed second-order pairs) + pad exclusion
+        pair_ok = (kw > ku) if upper_only else (kw != ku)
+        valid = is_end & alive & pair_ok & (rank != pad_rank)
+        ku = jnp.minimum(ku, n - 1)               # pad ranks overflow vertex range
+        kw = jnp.minimum(kw, n - 1)
     scores = _score_runs(metrics, udeg, wdeg, cnt_tot, wt_tots, valid,
                          maxf2, min_score)
     return scores, ku, kw
@@ -150,9 +159,9 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
 
 def tile_candidates_packed(
     slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
-    t_start, t_end, t_src_start,
+    t_start, t_end, t_src_start, t_tbl=0,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-    deg16: bool = False, upper_only: bool = True,
+    deg16: bool = False, upper_only: bool = True, local_w: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
     every per-slot quantity (candidate w, key high bits, the three degrees) is a
@@ -187,14 +196,14 @@ def tile_candidates_packed(
         wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
                for m in weighted]
     return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
-                              t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                              min_score=min_score, deg16=deg16,
-                              upper_only=upper_only)
+                              t_src_start, t_tbl, w_bits=w_bits, n=n,
+                              maxf2=maxf2, min_score=min_score, deg16=deg16,
+                              upper_only=upper_only, local_w=local_w)
 
 
 def tile_candidates(
     offsets, indices, degrees, wt_tables,
-    fe_src, fe_mid, fe_work, fe_cnt,
+    fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
     t_start, t_end, t_src_start,
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
@@ -232,8 +241,9 @@ def tile_candidates(
     svalid = iota < total
     u = window(fe_src)[eloc]
     mid = window(fe_mid)[eloc]
-    j = iota - eprefix[eloc]                    # j-th neighbor of mid
-    w = indices[offsets[mid] + j]               # in-range: j < deg(mid)
+    j = iota - eprefix[eloc]                    # j-th expanded neighbor of mid
+    # fe_skip pre-drops the sorted-ascending head w <= u (plan-time ft filter)
+    w = indices[offsets[mid] + window(fe_skip)[eloc] + j]
     cnt = window(fe_cnt)[eloc]
     weighted = [m for m in metrics if m.needs_weight]
 
@@ -286,100 +296,98 @@ def tile_candidates(
     return scores, ku, kw
 
 
-def _topk_init_batched(num_metrics: int, k: int) -> TopK:
-    return TopK(
-        scores=jnp.full((num_metrics, k), -jnp.inf, dtype=jnp.float32),
-        u=jnp.zeros((num_metrics, k), dtype=jnp.int32),
-        v=jnp.zeros((num_metrics, k), dtype=jnp.int32),
-    )
-
-
-def _sort_merge(carry: TopK, scores, u, v) -> TopK:
-    """Merge tile candidates (scores [M, cap], shared u/v [cap]) into the [M, k]
-    carry with per-metric descending 1-D sorts (XLA's top_k inside scan compiles
-    poorly, and a batched [M, N] dimension-1 sort picks a T(1,128) layout that
-    is ~10x slower than 1-D T(1024) sorts — measured via profiler trace)."""
-    m, k = carry.scores.shape
-    outs, outu, outv = [], [], []
-    for i in range(m):
-        s2 = jnp.concatenate([carry.scores[i], scores[i]])
-        u2 = jnp.concatenate([carry.u[i], u])
-        v2 = jnp.concatenate([carry.v[i], v])
-        ns, u2, v2 = jax.lax.sort((-s2, u2, v2), num_keys=1, is_stable=False)
-        outs.append(-ns[:k])
-        outu.append(u2[:k])
-        outv.append(v2[:k])
-    return TopK(jnp.stack(outs), jnp.stack(outu), jnp.stack(outv))
-
-
 import os
 
 _USE_COND = os.environ.get("LINKPRED_TILE_COND", "1") != "0"
 
 
+def _desc_score_key(x):
+    """uint32 key whose ASCENDING order is the float scores' DESCENDING order
+    (the radix-sort float trick, flipped).  -inf sinks to the end, so invalid
+    lanes never enter the top-k."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    asc = u ^ jnp.where(u >> 31 == 1, jnp.uint32(0xFFFFFFFF),
+                        jnp.uint32(0x80000000))
+    return ~asc
+
+
 def scan_tiles(
-    stream_fn, tile_start, tile_end, tile_src, k: int, num_metrics: int,
+    stream_fn, tile_start, tile_end, tile_src, tile_tbl, k: int,
+    num_metrics: int, cap: int,
 ) -> TopK:
-    """Run ``stream_fn(t_start, t_end, t_src) -> (scores [M, cap], u, v)`` over
-    all tiles under `lax.scan` with a sort-merged [M, k] top-k carry.
+    """Run ``stream_fn(t_start, t_end, t_src, t_tbl) -> (scores [M, cap], u, v)``
+    over all tiles under `lax.scan`, then select the global top-k.
 
-    Two runtime skips (both exactness-preserving):
-    * empty tiles (schedule padding) skip everything;
-    * tiles whose best score cannot beat any metric's current k-th score skip
-      the merge sort — the analog of the reference's heap-threshold test
-      (`predict.hxx:316,332`), and a large win once the carry saturates.
-    (Set LINKPRED_TILE_COND=0 to disable, for profiling cond effects.)
+    The per-thread heap + serial k-way merge of the reference
+    (`predict.hxx:309-337,440-459`) becomes a DEFERRED selection: every tile
+    streams its raw (scores, u, v) to HBM (bandwidth-trivial next to the tile
+    sort), and ONE single-key sort per metric over all T*cap lanes picks the
+    winners.  An in-scan sort-merged carry was 2.5x the cost of the tile key
+    sort itself (3-operand float merge of cap+k per tile, measured via trace);
+    the deferred global sort is 2-operand (uint32 score key + lane index) and
+    runs once.  Empty tiles (schedule padding) skip compute via `lax.cond`
+    (set LINKPRED_TILE_COND=0 to disable, for profiling cond effects).
     """
+    i32 = jnp.int32
 
-    def work(carry: TopK, t_start, t_end, t_src):
-        scores, u, v = stream_fn(t_start, t_end, t_src)
-        needs = jnp.any(jnp.max(scores, axis=1) > carry.scores[:, -1])
-        return jax.lax.cond(
-            needs,
-            lambda c: _sort_merge(c, scores, u, v),
-            lambda c: c,
-            carry,
-        )
+    def work(t_start, t_end, t_src, t_tbl):
+        return stream_fn(t_start, t_end, t_src, t_tbl)
 
-    def body(carry: TopK, ts):
-        t_start, t_end, t_src = ts
+    def empty(*_):
+        return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
+                jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
+
+    def body(carry, ts):
+        t_start, t_end, t_src, t_tbl = ts
         if _USE_COND:
-            out = jax.lax.cond(
-                t_start < t_end,
-                lambda c: work(c, t_start, t_end, t_src),
-                lambda c: c,
-                carry,
-            )
+            out = jax.lax.cond(t_start < t_end,
+                               lambda: work(t_start, t_end, t_src, t_tbl),
+                               empty)
         else:
-            out = work(carry, t_start, t_end, t_src)
-        return out, None
+            out = work(t_start, t_end, t_src, t_tbl)
+        return carry, out
 
-    carry, _ = jax.lax.scan(
-        body, _topk_init_batched(num_metrics, k), (tile_start, tile_end, tile_src))
-    return carry
+    _, (scores, us, vs) = jax.lax.scan(
+        body, 0, (tile_start, tile_end, tile_src, tile_tbl))
+    total = scores.shape[0] * cap
+    us = us.reshape(total)
+    vs = vs.reshape(total)
+    kk = min(k, total)
+    iota = jax.lax.broadcasted_iota(i32, (total,), 0)
+    out_s, out_u, out_v = [], [], []
+    for i in range(num_metrics):
+        flat = scores[:, i, :].reshape(total)
+        _, idx = jax.lax.sort((_desc_score_key(flat), iota), num_keys=1,
+                              is_stable=False)
+        top = idx[:kk]
+        out_s.append(flat[top])
+        out_u.append(us[top])
+        out_v.append(vs[top])
+    return TopK(jnp.stack(out_s), jnp.stack(out_u), jnp.stack(out_v))
 
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
-                    deg16=False, upper_only=True):
+                    deg16=False, upper_only=True, local_w=False):
     if packed:
         slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
 
-        def stream_fn(t_start, t_end, t_src):
+        def stream_fn(t_start, t_end, t_src, t_tbl):
             return tile_candidates_packed(
                 slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
-                t_start, t_end, t_src,
+                t_start, t_end, t_src, t_tbl,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, n=n, deg16=deg16, upper_only=upper_only,
+                local_w=local_w,
             )
     else:
-        fe_src, fe_mid, fe_work, fe_cnt = stream
+        fe_src, fe_mid, fe_work, fe_skip, fe_cnt = stream
 
-        def stream_fn(t_start, t_end, t_src):
+        def stream_fn(t_start, t_end, t_src, t_tbl):
             return tile_candidates(
                 offsets, indices, degrees, wt_tables,
-                fe_src, fe_mid, fe_work, fe_cnt,
+                fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
                 t_start, t_end, t_src,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, deg16=deg16, upper_only=upper_only,
@@ -390,30 +398,31 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only"),
+                     "deg16", "upper_only", "local_w"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_tables,
     stream,
-    tile_start, tile_src_start,
+    tile_start, tile_src_start, tile_tbl_start,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
+    local_w: bool = False,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
 
-    ``stream`` is ``(slot_adr, slot_keyhi, slot_mid)`` when ``w_bits > 0``
-    (packed path) else ``(fe_src, fe_mid, fe_work, fe_cnt)``.  ``tile_start``
+    ``stream`` is the packed slot arrays when ``packed`` else
+    ``(fe_src, fe_mid, fe_work, fe_skip, fe_cnt)``.  ``tile_start``
     indexes slots (packed) or edges (fallback).  ``wt_tables`` maps weighted
     metric name -> per-vertex table (may be empty when none are weighted)."""
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
-                                deg16, upper_only)
+                                deg16, upper_only, local_w)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
-        k, len(metrics))
+        tile_tbl_start, k, len(metrics), cap)
 
 
 def score_huge_sources_host(

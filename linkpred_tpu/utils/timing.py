@@ -27,15 +27,19 @@ __all__ = ["measure_duration", "measure_duration_marked", "sync"]
 def sync(result: T) -> T:
     """Force completion of ``result`` (see module docstring).
 
-    Fetches one element of the first array leaf: all outputs of one executable
-    materialize together, so one fetch syncs the whole program while costing only
-    a single small round-trip (a per-leaf fetch would multiply relay RTTs).
+    Fetches one element of the first array leaf of each TOP-LEVEL tuple/list
+    entry: all outputs of one executable materialize together, so one fetch per
+    entry syncs one program each while costing a single small round-trip (a
+    per-leaf fetch would multiply relay RTTs).  Callers running several
+    executables return their results as a tuple so every program is forced.
     """
     result = jax.block_until_ready(result)
-    for leaf in jax.tree.leaves(result):
-        if isinstance(leaf, jax.Array) and leaf.size:
-            jax.device_get(leaf.ravel()[0])
-            break
+    parts = result if isinstance(result, (tuple, list)) else (result,)
+    for part in parts:
+        for leaf in jax.tree.leaves(part):
+            if isinstance(leaf, jax.Array) and leaf.size:
+                jax.device_get(leaf.ravel()[0])
+                break
     return result
 
 

@@ -20,7 +20,7 @@ def mesh8():
 
 def test_pad_tiles_for_mesh_roundrobin():
     tes = np.array([0, 5, 9, 12, 12], dtype=np.int32)  # 4 tiles, last empty
-    starts, ends, srcs = pad_tiles_for_mesh(tes, n_devices=3)
+    starts, ends, srcs, _ = pad_tiles_for_mesh(tes, n_devices=3)
     assert starts.shape == ends.shape == srcs.shape == (6,)
     # every original window present exactly once
     got = sorted(zip(starts.tolist(), ends.tolist()))

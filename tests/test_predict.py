@@ -53,14 +53,38 @@ def test_small_cap_many_tiles(rng):
     check_against_oracle(g, "resource_allocation", 8, max_edges=5000, cap=256)
 
 
-def test_huge_source_fallback(rng):
-    # power-law graph + small cap routes hub sources through the dense fallback
+def test_huge_source_device_path(rng):
+    # power-law graph + small cap routes hub sources through the DEVICE hub
+    # sub-plan (hub-sized tiles, same engine); the dense host scorer is only a
+    # test oracle now
     g = powerlaw_graph(rng, n=300, m=2000)
     from linkpred_tpu.predict.plan import build_plan
     plan = build_plan(g, 0, cap=512)
     assert plan.huge_src.size > 0, "test should exercise the huge-source path"
+    assert plan.huge_plan is not None
+    assert plan.huge_plan.cap > 512 and plan.huge_plan.huge_src.size == 0
     check_against_oracle(g, "jaccard_coefficient", 0, max_edges=100_000, cap=512)
     check_against_oracle(g, "adamic_adar", 0, max_edges=50, cap=512)
+
+
+def test_huge_source_matches_host_oracle(rng):
+    # the demoted host dense scorer cross-checks the hub sub-plan directly
+    from linkpred_tpu.predict.metrics import get_metric
+    from linkpred_tpu.predict.plan import build_plan
+    from linkpred_tpu.predict.scoring import score_huge_sources_host
+
+    g = powerlaw_graph(rng, n=250, m=1800)
+    plan = build_plan(g, 0, cap=256)
+    assert plan.huge_src.size > 0
+    res = predict_links(g, metric="salton_cosine_similarity", min_degree1=0,
+                        options=PredictOptions(max_edges=100_000), plan=plan)
+    got = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res.u, res.v, res.score)}
+    hs, hu, hv = score_huge_sources_host(
+        g, plan.huge_src, get_metric("salton_cosine_similarity"), 0, 0, 0.0)
+    assert hs.size > 0
+    for s, u, v in zip(hs, hu, hv):
+        assert np.isclose(got[(int(u), int(v))], s, rtol=1e-5)
 
 
 def test_lhub_skips_hubs(rng):

@@ -86,6 +86,33 @@ def test_native_truncated_record_stops(tmp_path):
     np.testing.assert_allclose(w, [0.5])
 
 
+@pytest.mark.parametrize("metric", ["jaccard_coefficient", "adamic_adar"])
+def test_bign_local_remap_packed_path(rng, metric):
+    # n > 2^23 used to kill the packed path (the global w id no longer fits the
+    # 32-bit key).  The tile-local candidate remap keeps it alive at any scale:
+    # spread a 300-vertex graph over an 8.4M-id space and check exactness
+    # against the same graph with compact ids (identical degrees => identical
+    # scores).
+    n_big = (1 << 23) + 1
+    ids = np.sort(rng.choice(n_big, size=300, replace=False))
+    small = random_graph(rng, n=300, avg_deg=5)
+    s_src, s_dst = np.nonzero(to_dense(small))
+    g_big = from_edges(ids[s_src], ids[s_dst], n=n_big)
+    plan = build_plan(g_big, 4, cap=4096)
+    assert plan.packed and plan.local_w, (plan.packed, plan.local_w, plan.w_bits)
+    res_big = predict_links(g_big, metric=metric, min_degree1=4,
+                            options=PredictOptions(max_edges=10_000), plan=plan)
+    res_small = predict_links(small, metric=metric, min_degree1=4,
+                              options=PredictOptions(max_edges=10_000))
+    assert len(res_big) == len(res_small) > 0
+    got = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res_big.u, res_big.v, res_big.score)}
+    for u, v, s in zip(res_small.u, res_small.v, res_small.score):
+        key = (int(ids[u]), int(ids[v]))
+        assert key in got, f"missing pair {key}"
+        np.testing.assert_allclose(got[key], s, rtol=1e-5)
+
+
 def test_transpose_with_degree(rng):
     from linkpred_tpu.ops.transform import transpose_with_degree
 
