@@ -37,11 +37,10 @@ def make_data(log2n):
     valid = rng.random(n) < 0.35                  # ~35% valid lanes
     nv = int(valid.sum())
     # jaccard-like: many small rationals (heavy ties) + a continuous tail
-    pool = np.concatenate([
-        np.repeat(np.float32(1.0) / np.arange(1, 64, dtype=np.float32),
-                  nv // 128 + 1)[: nv // 2],
-        rng.random(nv - nv // 2, dtype=np.float32),
-    ])
+    half = np.repeat(np.float32(1.0) / np.arange(1, 64, dtype=np.float32),
+                     nv // 64 + 1)[: nv // 2]
+    pool = np.concatenate([half, rng.random(nv - half.shape[0],
+                                            dtype=np.float32)])
     rng.shuffle(pool)
     x[valid] = pool
     return jnp.asarray(x)

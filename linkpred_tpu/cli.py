@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--jsonl", action="store_true",
                    help="emit JSON-lines result rows instead of the printf grammar")
+    p.add_argument("--unfused", action="store_true",
+                   help="score each metric as its own full pass (honest "
+                        "per-technique times, like the reference's per-metric "
+                        "scans; default shares one pass and amortizes)")
     return p
 
 
@@ -94,6 +98,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         cap=args.cap,
         min_score=args.min_score,
         jsonl=args.jsonl,
+        fused_metrics=not args.unfused,
     )
     run_experiment(g, cfg)
     print()

@@ -106,10 +106,19 @@ def read_mtx(
     """Read an MTX file into a :class:`CSRGraph`.
 
     ``symmetrize`` / ``remove_self_loops`` fold in the driver's post-load transforms
-    (`/root/reference/main.cxx:244-245`) as single-pass options.  Large files parse
-    through the native C++ body parser (``native/src/mtx_native.cpp``) when it
-    builds; otherwise NumPy-vectorized text parsing.
+    (`/root/reference/main.cxx:244-245`) as single-pass options.
+
+    Path inputs are **mmapped**: the native C++ body parser
+    (``native/src/mtx_native.cpp``) walks the page cache directly — no in-memory
+    copy of the text exists at any point (the reference streams 131072-line
+    blocks, `mtx.hxx:152-193`; multi-GB files must never be held as one Python
+    string).  Without the native library, a chunked NumPy tokenizer bounds the
+    transient text copy to ``_CHUNK`` bytes.  File-like inputs use the
+    in-memory path.
     """
+    if not hasattr(path_or_buf, "read"):
+        return _read_mtx_mmap(path_or_buf, weighted, symmetrize,
+                              remove_self_loops, use_native)
     text = _read_text(path_or_buf)
     header, body = _parse_header(text)
     n = max(header.rows, header.cols)
@@ -150,6 +159,97 @@ def read_mtx(
     w = table[:, 2].astype(np.float32) if (weighted and ncol >= 3) else (
         np.ones(nrows, dtype=np.float32) if weighted else None)
     return _finish(src, dst, w, n, header.symmetric, symmetrize, remove_self_loops)
+
+
+# Transient text bound for the chunked NumPy fallback (bytes per block; the
+# reference's analog is the 131072-line block, `mtx.hxx:163-167`).
+_CHUNK = 64 << 20
+
+
+def _read_mtx_mmap(path, weighted, symmetrize, remove_self_loops,
+                   use_native) -> CSRGraph:
+    import mmap
+
+    with open(path, "rb") as f:
+        try:
+            # ACCESS_COPY (private CoW) keeps the buffer ctypes-viewable for the
+            # zero-copy native parse; nothing ever writes, so no pages copy.
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_COPY)
+        except ValueError:  # empty file
+            return from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=0)
+    try:
+        # Header is ASCII near the top; latin-1 keeps str offsets == byte
+        # offsets.  Grow the decoded prefix if a pathological comment block
+        # pushes the size line past it.
+        pref = 1 << 20
+        while True:
+            head = mm[: min(pref, mm.size())].decode("latin-1")
+            header, body = _parse_header(head)
+            if body < len(head) or pref >= mm.size():
+                break
+            pref *= 4
+        n = max(header.rows, header.cols)
+        if n == 0:
+            return from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=0)
+
+        if use_native and header.size > 0:
+            from .native import parse_mtx_buffer
+
+            parsed = parse_mtx_buffer(mm, body, mm.size() - body,
+                                      header.size, weighted)
+            if parsed is not None:
+                psrc, pdst, pw = parsed
+                return _finish(psrc - 1, pdst - 1,
+                               None if not weighted else (
+                                   pw.astype(np.float32) if pw is not None
+                                   else np.ones(psrc.shape[0], np.float32)),
+                               n, header.symmetric, symmetrize,
+                               remove_self_loops)
+
+        # Chunked NumPy fallback: tokenize _CHUNK-sized blocks split on line
+        # boundaries; peak transient memory is one block + numeric columns.
+        cols = []
+        pos = body
+        ncol = 0
+        while pos < mm.size():
+            end = min(pos + _CHUNK, mm.size())
+            if end < mm.size():
+                end = mm.rfind(b"\n", pos, end) + 1
+                if end <= pos:
+                    end = min(pos + _CHUNK, mm.size())
+            block = mm[pos:end].decode("latin-1")
+            pos = end
+            if "%" in block:
+                block = "\n".join(ln for ln in block.splitlines()
+                                  if not ln.lstrip().startswith("%"))
+            tokens = block.split()
+            if not tokens:
+                continue
+            if ncol == 0:
+                first = block.lstrip().split("\n", 1)[0]
+                ncol = len(first.split())
+                if ncol not in (2, 3, 4):
+                    ncol = 2
+            flat = np.array(tokens, dtype=np.float64)
+            nrows = flat.size // ncol
+            cols.append(flat[: nrows * ncol].reshape(nrows, ncol))
+        table = np.concatenate(cols) if cols else np.empty((0, 2))
+        src = table[:, 0].astype(np.int64) - 1
+        dst = table[:, 1].astype(np.int64) - 1
+        w = table[:, 2].astype(np.float32) if (weighted and ncol >= 3) else (
+            np.ones(table.shape[0], dtype=np.float32) if weighted else None)
+        return _finish(src, dst, w, n, header.symmetric, symmetrize,
+                       remove_self_loops)
+    finally:
+        try:
+            mm.close()
+        except BufferError:
+            # the ctypes view handed to the native parser is freed via a GC
+            # cycle; collect, then unmap
+            import gc
+
+            gc.collect()
+            mm.close()
 
 
 def _finish(src, dst, w, n, header_symmetric, symmetrize, remove_self_loops) -> CSRGraph:

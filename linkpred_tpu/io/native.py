@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_lib", "parse_mtx_body"]
+__all__ = ["native_lib", "parse_mtx_body", "parse_mtx_buffer"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
@@ -50,28 +50,43 @@ def native_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(_SO)
+        cchar_p = ctypes.POINTER(ctypes.c_char)
         lib.lp_mtx_parse.restype = ctypes.c_int64
         lib.lp_mtx_parse.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            cchar_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double)]
         lib.lp_mtx_detect_cols.restype = ctypes.c_int
-        lib.lp_mtx_detect_cols.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.lp_mtx_detect_cols.argtypes = [cchar_p, ctypes.c_int64]
         _lib = lib
     except OSError:
         _lib = None
     return _lib
 
 
-def parse_mtx_body(
-    body: bytes, max_rows: int, weighted: bool,
+def _as_cptr(buf, offset: int = 0):
+    """Zero-copy ``char*`` into ``buf`` (bytes, bytearray, mmap) at ``offset``."""
+    if isinstance(buf, bytes):
+        base = ctypes.cast(ctypes.c_char_p(buf), ctypes.POINTER(ctypes.c_char))
+        return ctypes.cast(ctypes.byref(base.contents, offset),
+                           ctypes.POINTER(ctypes.c_char))
+    view = (ctypes.c_char * (len(buf) - offset)).from_buffer(buf, offset)
+    return ctypes.cast(view, ctypes.POINTER(ctypes.c_char))
+
+
+def parse_mtx_buffer(
+    buf, offset: int, length: int, max_rows: int, weighted: bool,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
-    """Parse coordinate lines into (src, dst, weights) 1-indexed int64 arrays.
-    Returns None when the native library is unavailable."""
+    """Parse coordinate lines from ``buf[offset:offset+length]`` WITHOUT copying
+    the text (``buf`` may be an mmap of a multi-GB file — the reference streams
+    131072-line blocks, `mtx.hxx:152-193`; here the native parser walks the
+    page cache directly).  Returns (src, dst, weights) 1-indexed int64 arrays,
+    or None when the native library is unavailable."""
     lib = native_lib()
     if lib is None:
         return None
-    ncols = lib.lp_mtx_detect_cols(body, len(body))
+    p = _as_cptr(buf, offset)
+    ncols = lib.lp_mtx_detect_cols(p, length)
     if ncols < 2:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), (np.empty(0, dtype=np.float64) if weighted else None)
@@ -79,10 +94,18 @@ def parse_mtx_body(
     dst = np.empty(max_rows, dtype=np.int64)
     wts = np.empty(max_rows, dtype=np.float64) if (weighted and ncols >= 3) else None
     rows = lib.lp_mtx_parse(
-        body, len(body), max_rows, ncols,
+        p, length, max_rows, ncols,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         wts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if wts is not None else None,
     )
     rows = int(rows)
     return src[:rows], dst[:rows], (wts[:rows] if wts is not None else None)
+
+
+def parse_mtx_body(
+    body: bytes, max_rows: int, weighted: bool,
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """Parse coordinate lines into (src, dst, weights) 1-indexed int64 arrays.
+    Returns None when the native library is unavailable."""
+    return parse_mtx_buffer(body, 0, len(body), max_rows, weighted)

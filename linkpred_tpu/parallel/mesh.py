@@ -13,9 +13,13 @@ vertices plus per-thread top-k heaps merged serially
   sort-merges replaces the serial k-way heap merge — O(M · k · n_devices)
   bytes on the wire, independent of graph size.
 
-Graph and plan arrays are replicated across the axis (read-only here); for
-graphs beyond single-HBM capacity, shard the plan's slot stream by tile range
-(tiles are already the unit of distribution) — round-2 work, see STATUS.md.
+**Stream sharding** (packed plans): tiles are contiguous slot ranges, so real
+tiles block-partition into per-device ranges balanced by slot count, and each
+device holds ONLY its slice of the slot stream ([D, L_pad] arrays sharded on
+the mesh axis) — per-device stream memory is total/D + the replicated degree
+vector (the packed tile kernel reads nothing else from the graph).  This is the
+``belongsOmp`` owner-computes analog (`_openmp.hxx:16-33`) with memory actually
+distributed, not just work.
 """
 from __future__ import annotations
 
@@ -25,12 +29,81 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.topk import TopK
 from ..predict.metrics import METRICS
 
-__all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded"]
+__all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded",
+           "shard_stream_for_mesh"]
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
+    """Block-partition the plan's REAL tiles into contiguous per-device slot
+    ranges (balanced by slot count) and lay the stream out as [D, L_pad] arrays
+    sharded over ``axis`` — device d addresses only its own block.
+
+    Returns ``(stream, tile_starts, tile_ends, tile_srcs, tile_tbls)`` with
+    tile offsets LOCAL to each device's block; results are memoized on the
+    plan.  Packed plans only.
+    """
+    axis = axis or mesh.axis_names[0]
+    d_count = mesh.shape[axis]
+    key = ("sharded", id(mesh), axis)
+    cached = plan._device.get(key)
+    if cached is not None:
+        return cached
+
+    ts = np.asarray(plan.tile_start, dtype=np.int64)
+    t = plan.num_tiles
+    starts, ends = ts[:t], ts[1 : t + 1]
+    sizes = ends - starts
+    csum = np.cumsum(sizes)
+    total = int(csum[-1]) if t else 0
+    cuts = [0]
+    for d in range(1, d_count):
+        cuts.append(int(np.searchsorted(csum, total * d / d_count)))
+    cuts.append(t)
+    t_loc = max(max(cuts[d + 1] - cuts[d] for d in range(d_count)), 1)
+    blk_slots = [int(ends[cuts[d + 1] - 1] - starts[cuts[d]])
+                 if cuts[d + 1] > cuts[d] else 0 for d in range(d_count)]
+    l_pad = _next_pow2(max(blk_slots) + plan.cap)
+
+    host_stream = (plan.slot_w, plan.slot_keyhi, plan.slot_udeg,
+                   plan.slot_wdeg, plan.slot_middeg)
+    stacked = [np.zeros((d_count, l_pad), dtype=a.dtype) for a in host_stream]
+    tile_s = np.zeros((d_count, t_loc), dtype=np.int32)
+    tile_e = np.zeros((d_count, t_loc), dtype=np.int32)
+    tile_src = np.zeros((d_count, t_loc), dtype=np.int32)
+    tile_tbl = np.zeros((d_count, t_loc), dtype=np.int32)
+    tbl = plan.tile_tbl_start
+    srcs = np.asarray(plan.tile_src_start, dtype=np.int64)
+    for d in range(d_count):
+        lo, hi = cuts[d], cuts[d + 1]
+        if hi <= lo:
+            continue
+        s0 = int(starts[lo])
+        span = int(ends[hi - 1]) - s0
+        for a, out in zip(host_stream, stacked):
+            out[d, : min(span + plan.cap, a.shape[0] - s0)] = \
+                a[s0 : s0 + span + plan.cap][: l_pad]
+        nt = hi - lo
+        tile_s[d, :nt] = (starts[lo:hi] - s0).astype(np.int32)
+        tile_e[d, :nt] = (ends[lo:hi] - s0).astype(np.int32)
+        tile_src[d, :nt] = srcs[lo:hi].astype(np.int32)
+        if tbl is not None:
+            tile_tbl[d, :nt] = tbl[lo:hi]
+
+    sh = NamedSharding(mesh, P(axis))
+    out = (tuple(jax.device_put(a, sh) for a in stacked),
+           jax.device_put(tile_s, sh), jax.device_put(tile_e, sh),
+           jax.device_put(tile_src, sh), jax.device_put(tile_tbl, sh))
+    plan._device[key] = out
+    return out
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "workers") -> Mesh:
@@ -82,7 +155,8 @@ def pad_tiles_for_mesh(
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "local_w", "mesh", "axis"),
+                     "deg16", "upper_only", "local_w", "mesh", "axis",
+                     "stream_sharded"),
 )
 def score_tiles_sharded(
     offsets, indices, degrees, wt_tables,
@@ -92,14 +166,18 @@ def score_tiles_sharded(
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
     local_w: bool = False, mesh: Mesh, axis: str = "workers",
+    stream_sharded: bool = False,
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
     Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
 
     ``stream`` is the plan's device stream (slot arrays when ``packed`` else
     edge arrays) — see `plan.py`.
-    ``tile_starts``/``tile_ends``/``tile_srcs`` must be length-multiple-of-mesh-
-    size (see ``pad_tiles_for_mesh``).
+    ``stream_sharded=False``: stream replicated; tile windows are global and
+    must be length-multiple-of-mesh-size (see ``pad_tiles_for_mesh``).
+    ``stream_sharded=True`` (packed only): stream and tile arrays are the
+    [D, ...] device-major layout of ``shard_stream_for_mesh`` — each device
+    holds ONLY its slot-range block, windows are block-local.
     """
     from ..predict.scoring import _make_stream_fn, scan_tiles
 
@@ -107,6 +185,10 @@ def score_tiles_sharded(
 
     def local_scan(tile_s, tile_e, tile_src, tile_tbl, offsets, indices,
                    degrees, wt_tables, stream, min_score):
+        if stream_sharded:
+            stream = jax.tree.map(lambda a: a[0], stream)
+            tile_s, tile_e = tile_s[0], tile_e[0]
+            tile_src, tile_tbl = tile_src[0], tile_tbl[0]
         stream_fn = _make_stream_fn(
             offsets, indices, degrees, wt_tables, stream,
             metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only,
@@ -125,13 +207,14 @@ def score_tiles_sharded(
         return TopK(jnp.stack(merged_s), jnp.stack(merged_u), jnp.stack(merged_v))
 
     rep = P()
+    stream_spec = P(axis) if stream_sharded else rep
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis),
+        in_specs=(stream_spec, stream_spec, stream_spec, stream_spec,
                   rep, rep, rep,
                   jax.tree.map(lambda _: rep, wt_tables),
-                  jax.tree.map(lambda _: rep, stream), rep),
+                  jax.tree.map(lambda _: stream_spec, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )

@@ -51,6 +51,12 @@ class PredictResult:
     score: np.ndarray      # float32[E], descending
     time_ms: float         # total (scoring + ordering), like `predict.hxx:466`
     scoring_ms: float      # scoring only
+    # device->host result transfer, reported separately and EXCLUDED from
+    # time_ms: the reference's total covers compute (score+sort+merge) only
+    # (`predict.hxx:426-466`); on a relay-backed host the k-row fetch costs
+    # hundreds of ms and would otherwise masquerade as compute in CSV
+    # comparisons.
+    transfer_ms: float = 0.0
 
     @property
     def edges(self):
@@ -164,25 +170,39 @@ def predict_links_multi(
     stream, tile_start, tss, ttbl = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
+    stream_sharded = False
     if mesh is not None:
-        from ..parallel.mesh import pad_tiles_for_mesh, score_tiles_sharded
+        from ..parallel.mesh import (
+            pad_tiles_for_mesh, score_tiles_sharded, shard_stream_for_mesh)
         axis = mesh.axis_names[0]
-        t_starts, t_ends, t_srcs, t_tbls = pad_tiles_for_mesh(
-            plan.tile_start, mesh.shape[axis], plan.tile_src_start,
-            tile_tbl_start=plan.tile_tbl_start)
-        t_starts, t_ends, t_srcs, t_tbls = (
-            jnp.asarray(t_starts), jnp.asarray(t_ends), jnp.asarray(t_srcs),
-            jnp.asarray(t_tbls))
+        stream_sharded = plan.packed
+        if stream_sharded:
+            # Each device holds ONLY its contiguous slot-range block (stream
+            # memory = total/D); the packed kernel reads nothing from the CSR
+            # arrays, so only the degree vector stays replicated.
+            m_stream, t_starts, t_ends, t_srcs, t_tbls = \
+                shard_stream_for_mesh(plan, mesh, axis)
+            dummy = jnp.zeros(1, jnp.int32)
+        else:
+            t_starts, t_ends, t_srcs, t_tbls = pad_tiles_for_mesh(
+                plan.tile_start, mesh.shape[axis], plan.tile_src_start,
+                tile_tbl_start=plan.tile_tbl_start)
+            t_starts, t_ends, t_srcs, t_tbls = (
+                jnp.asarray(t_starts), jnp.asarray(t_ends),
+                jnp.asarray(t_srcs), jnp.asarray(t_tbls))
+            m_stream = stream
 
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded(
-                gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
+                dummy if stream_sharded else gd.offsets,
+                dummy if stream_sharded else gd.indices,
+                gd.degrees, wt_tables, m_stream,
                 t_starts, t_ends, t_srcs, t_tbls, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
                 upper_only=plan.upper_only, local_w=plan.local_w,
-                mesh=mesh, axis=axis,
+                mesh=mesh, axis=axis, stream_sharded=stream_sharded,
             )
         else:
             top = score_tiles(
@@ -212,10 +232,16 @@ def predict_links_multi(
 
     results = {}
     for i, name in enumerate(names):
+        transfer = [0.0]
+
         def fetch(t, p, i):
+            import time as _time
+
+            t0 = _time.perf_counter()
             scores = np.asarray(t.scores[i])
             us = np.asarray(t.u[i])
             vs = np.asarray(t.v[i])
+            transfer[0] += (_time.perf_counter() - t0) * 1e3
             valid = np.isfinite(scores)
             scores, us, vs = scores[valid], us[valid], vs[valid]
             if p.local_w:
@@ -238,7 +264,9 @@ def predict_links_multi(
         results[name] = PredictResult(
             u=us.astype(np.int32), v=vs.astype(np.int32),
             score=ss.astype(np.float32),
-            time_ms=ts / len(names) + to, scoring_ms=ts / len(names),
+            time_ms=ts / len(names) + max(to - transfer[0], 0.0),
+            scoring_ms=ts / len(names),
+            transfer_ms=transfer[0],
         )
     return results
 

@@ -250,7 +250,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     # ``w_table`` after the top-k merge (full-graph mode only; restricted-source
     # plans fall back to the sentinel edge stream at this scale).
     deg16 = bool(deg.max(initial=0) < (1 << 16))
-    w_bits = max(int(n).bit_length(), 1)
+    # ids go up to n-1: bit_length(n-1), not bit_length(n) — at n = 2^b the
+    # difference is a whole extra source bit (2x the tile span).
+    w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
     local_w = False
     if 31 - w_bits < 8 and upper_only:
         wl_bits = max(int(cap - 1).bit_length(), 1)
@@ -262,7 +264,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
     if local_w and not packed:
         local_w = False                  # remap needs the materialized stream
-        w_bits = max(int(n).bit_length(), 1)
+        w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
         u_bits = 31 - w_bits
         keyed = False
     span_max = (1 << u_bits) - 2 if keyed else n
@@ -375,7 +377,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         packed = False
         if local_w:
             local_w = False
-            w_bits = max(int(n).bit_length(), 1)
+            w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
             keyed = False
 
     return TilePlan(

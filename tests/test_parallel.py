@@ -59,6 +59,31 @@ def test_sharded_matches_single_device(rng, mesh8):
         np.sort(single.score), np.sort(sharded.score), rtol=1e-6)
 
 
+def test_stream_sharding_distributes_memory(rng, mesh8):
+    # packed plans shard the slot stream: each device addresses only its
+    # [1, L_pad] block, so per-device stream memory is ~total/D (+ window pad)
+    from linkpred_tpu.parallel.mesh import shard_stream_for_mesh
+    from linkpred_tpu.predict.plan import build_plan
+
+    g = random_graph(rng, n=400, avg_deg=8)
+    plan = build_plan(g, 0, cap=1024)
+    assert plan.packed
+    stream, ts, te, _, _ = shard_stream_for_mesh(plan, mesh8)
+    d = 8
+    for a in stream:
+        assert a.shape[0] == d
+        shard_shapes = {s.data.shape for s in a.addressable_shards}
+        assert shard_shapes == {(1, a.shape[1])}
+    # block-local windows stay inside the block
+    assert np.all(np.asarray(te) + 0 <= stream[0].shape[1])
+    # the sharded run is still oracle-exact (covered by the predict tests);
+    # here check it runs and returns finite scores
+    res = predict_links(g, metric="common_neighbors", min_degree1=0,
+                        options=PredictOptions(max_edges=100), cap=1024,
+                        mesh=mesh8)
+    assert len(res) == 100 and np.isfinite(res.score).all()
+
+
 def test_sharded_topk_truncation(rng, mesh8):
     g = random_graph(rng, n=200, avg_deg=6)
     pairs = oracle_scores(g, "sorensen_index", 0)

@@ -113,6 +113,54 @@ def test_bign_local_remap_packed_path(rng, metric):
         np.testing.assert_allclose(got[key], s, rtol=1e-5)
 
 
+def test_mmap_reader_paths(rng, tmp_path):
+    # path inputs go through the mmap reader (zero-copy native parse or the
+    # chunked fallback); both must match the in-memory file-object path
+    from linkpred_tpu import read_mtx, write_mtx
+
+    g = random_graph(rng, n=120, avg_deg=5)
+    p = tmp_path / "g.mtx"
+    write_mtx(g, str(p))
+    via_mmap_native = read_mtx(str(p), use_native=True)
+    via_mmap_chunked = read_mtx(str(p), use_native=False)
+    with open(p) as f:
+        via_buf = read_mtx(f, use_native=False)
+    np.testing.assert_array_equal(to_dense(via_mmap_native), to_dense(via_buf))
+    np.testing.assert_array_equal(to_dense(via_mmap_chunked), to_dense(via_buf))
+
+
+def test_mmap_reader_comments_and_weights(tmp_path):
+    from linkpred_tpu import read_mtx
+
+    p = tmp_path / "w.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n"
+        "4 4 3\n"
+        "1 2 1.5\n"
+        "% mid-body comment\n"
+        "2 3 2.5\n"
+        "3 4 -1e2\n")
+    for use_native in (True, False):
+        a = read_mtx(str(p), weighted=True, use_native=use_native)
+        assert a.n == 4 and a.m == 6  # symmetric header doubles edges
+        assert a.has_edge(1, 0) and a.has_edge(3, 2)
+
+
+def test_mmap_chunked_block_boundaries(tmp_path, monkeypatch):
+    # force tiny chunks so records cross block boundaries
+    import linkpred_tpu.io.mtx as mtx_mod
+    from linkpred_tpu import read_mtx
+
+    lines = [f"{i + 1} {((i * 7) % 90) + 1}" for i in range(300)]
+    p = tmp_path / "c.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate pattern general\n"
+                 "300 90 300\n" + "\n".join(lines) + "\n")
+    monkeypatch.setattr(mtx_mod, "_CHUNK", 64)
+    g = read_mtx(str(p), use_native=False)
+    assert g.m == len(set(lines))
+
+
 def test_transpose_with_degree(rng):
     from linkpred_tpu.ops.transform import transpose_with_degree
 
