@@ -46,22 +46,23 @@ def main():
     cap = plan.cap
     min_score = jnp.float32(0.0)
 
-    import functools
-
-    @jax.jit
     def full():
+        # big arrays enter as jit ARGUMENTS (closure constants embed in the
+        # HLO and break the remote compile endpoint)
         return scoring.score_tiles(
             gd.offsets, gd.indices, gd.degrees, {}, stream,
             tile_start, tss, ttbl, min_score,
             metric_names=("jaccard_coefficient",), cap=cap, k=k,
             w_bits=plan.w_bits, packed=plan.packed, deg16=plan.deg16)
 
-    stream_fn = scoring._make_stream_fn(
-        gd.offsets, gd.indices, gd.degrees, {}, stream, metrics, cap, 0,
-        min_score, plan.w_bits, plan.packed, plan.deg16, True, plan.local_w)
-
     @jax.jit
-    def scan_only():
+    def scan_impl(offsets, indices, degrees, stream, tile_start, tss, ttbl,
+                  min_score):
+        stream_fn = scoring._make_stream_fn(
+            offsets, indices, degrees, {}, stream, metrics, cap, 0,
+            min_score, plan.w_bits, plan.packed, plan.deg16, True,
+            plan.local_w)
+
         def body(c, ts):
             t_start, t_end, t_src, t_tbl = ts
             out = jax.lax.cond(
@@ -75,6 +76,10 @@ def main():
             body, 0, (tile_start[:-1], tile_start[1:], tss[:-1], ttbl))
         return (jnp.sum(scores[:, :, ::1024]), jnp.sum(us[:, ::1024]),
                 jnp.sum(vs[:, ::1024]))
+
+    def scan_only():
+        return scan_impl(gd.offsets, gd.indices, gd.degrees, stream,
+                         tile_start, tss, ttbl, min_score)
 
     t_pad = plan.num_tiles_padded
     total = t_pad * cap

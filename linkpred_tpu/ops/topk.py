@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 __all__ = ["TopK", "topk_init", "topk_merge", "topk_from_candidates"]
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain float, NOT a jnp scalar: a module-level jnp computation would
+# initialise the XLA backend at import time, which breaks
+# jax.distributed.initialize() for multi-host users.
+NEG_INF = float("-inf")
 
 
 class TopK(NamedTuple):

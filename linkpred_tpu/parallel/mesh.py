@@ -99,9 +99,16 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
             tile_tbl[d, :nt] = tbl[lo:hi]
 
     sh = NamedSharding(mesh, P(axis))
-    out = (tuple(jax.device_put(a, sh) for a in stacked),
-           jax.device_put(tile_s, sh), jax.device_put(tile_e, sh),
-           jax.device_put(tile_src, sh), jax.device_put(tile_tbl, sh))
+
+    def put(a):
+        # make_array_from_callback materializes only the ADDRESSABLE shards in
+        # each process — the same code path serves a single-host ICI mesh and a
+        # multi-host DCN mesh (jax.device_put of a host array cannot build
+        # non-fully-addressable arrays).
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    out = (tuple(put(a) for a in stacked),
+           put(tile_s), put(tile_e), put(tile_src), put(tile_tbl))
     plan._device[key] = out
     return out
 

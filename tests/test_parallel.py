@@ -84,6 +84,23 @@ def test_stream_sharding_distributes_memory(rng, mesh8):
     assert len(res) == 100 and np.isfinite(res.score).all()
 
 
+def test_multihost_dcn_simulation():
+    # 2 coordinated processes (jax.distributed over localhost): stream-sharded
+    # scoring must reproduce the single-host result exactly.  The 8-process
+    # variant runs as examples/multihost_sim/run.py 8.
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                          "multihost_sim", "run.py")
+    env = dict(os.environ)
+    env.pop("MHS_RANK", None)
+    r = subprocess.run([sys.executable, script, "2"], env=env, timeout=560,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+
 def test_sharded_topk_truncation(rng, mesh8):
     g = random_graph(rng, n=200, avg_deg=6)
     pairs = oracle_scores(g, "sorensen_index", 0)
