@@ -40,7 +40,7 @@ def main():
           f"slots={plan.total_slots} packed={plan.packed} deg16={plan.deg16}",
           flush=True)
     gd = g.device()
-    stream, tile_start, tss, ttbl = plan.device_stream()
+    stream, tile_start, _ = plan.device_stream()
     metrics = (METRICS["jaccard_coefficient"],)
     k = 1 << 19
     cap = plan.cap
@@ -51,35 +51,34 @@ def main():
         # HLO and break the remote compile endpoint)
         return scoring.score_tiles(
             gd.offsets, gd.indices, gd.degrees, {}, stream,
-            tile_start, tss, ttbl, min_score,
+            tile_start, min_score,
             metric_names=("jaccard_coefficient",), cap=cap, k=k,
             w_bits=plan.w_bits, packed=plan.packed, deg16=plan.deg16)
 
     @jax.jit
-    def scan_impl(offsets, indices, degrees, stream, tile_start, tss, ttbl,
+    def scan_impl(offsets, indices, degrees, stream, tile_start,
                   min_score):
         stream_fn = scoring._make_stream_fn(
             offsets, indices, degrees, {}, stream, metrics, cap, 0,
-            min_score, plan.w_bits, plan.packed, plan.deg16, True,
-            plan.local_w)
+            min_score, plan.w_bits, plan.packed, plan.deg16, True)
 
         def body(c, ts):
-            t_start, t_end, t_src, t_tbl = ts
+            t_start, t_end = ts
             out = jax.lax.cond(
                 t_start < t_end,
-                lambda: stream_fn(t_start, t_end, t_src, t_tbl),
+                lambda: stream_fn(t_start, t_end),
                 lambda: (jnp.full((1, cap), -jnp.inf, jnp.float32),
                          jnp.zeros((cap,), jnp.int32),
                          jnp.zeros((cap,), jnp.int32)))
             return c, out
         _, (scores, us, vs) = jax.lax.scan(
-            body, 0, (tile_start[:-1], tile_start[1:], tss[:-1], ttbl))
+            body, 0, (tile_start[:-1], tile_start[1:]))
         return (jnp.sum(scores[:, :, ::1024]), jnp.sum(us[:, ::1024]),
                 jnp.sum(vs[:, ::1024]))
 
     def scan_only():
         return scan_impl(gd.offsets, gd.indices, gd.degrees, stream,
-                         tile_start, tss, ttbl, min_score)
+                         tile_start, min_score)
 
     t_pad = plan.num_tiles_padded
     total = t_pad * cap

@@ -47,9 +47,8 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
     ranges (balanced by slot count) and lay the stream out as [D, L_pad] arrays
     sharded over ``axis`` — device d addresses only its own block.
 
-    Returns ``(stream, tile_starts, tile_ends, tile_srcs, tile_tbls)`` with
-    tile offsets LOCAL to each device's block; results are memoized on the
-    plan.  Packed plans only.
+    Returns ``(stream, tile_starts, tile_ends)`` with tile offsets LOCAL to
+    each device's block; results are memoized on the plan.  Packed plans only.
     """
     axis = axis or mesh.axis_names[0]
     d_count = mesh.shape[axis]
@@ -73,15 +72,11 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
                  if cuts[d + 1] > cuts[d] else 0 for d in range(d_count)]
     l_pad = _next_pow2(max(blk_slots) + plan.cap)
 
-    host_stream = (plan.slot_w, plan.slot_keyhi, plan.slot_udeg,
+    host_stream = (plan.slot_w, plan.slot_u, plan.slot_udeg,
                    plan.slot_wdeg, plan.slot_middeg)
     stacked = [np.zeros((d_count, l_pad), dtype=a.dtype) for a in host_stream]
     tile_s = np.zeros((d_count, t_loc), dtype=np.int32)
     tile_e = np.zeros((d_count, t_loc), dtype=np.int32)
-    tile_src = np.zeros((d_count, t_loc), dtype=np.int32)
-    tile_tbl = np.zeros((d_count, t_loc), dtype=np.int32)
-    tbl = plan.tile_tbl_start
-    srcs = np.asarray(plan.tile_src_start, dtype=np.int64)
     for d in range(d_count):
         lo, hi = cuts[d], cuts[d + 1]
         if hi <= lo:
@@ -94,9 +89,6 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         nt = hi - lo
         tile_s[d, :nt] = (starts[lo:hi] - s0).astype(np.int32)
         tile_e[d, :nt] = (ends[lo:hi] - s0).astype(np.int32)
-        tile_src[d, :nt] = srcs[lo:hi].astype(np.int32)
-        if tbl is not None:
-            tile_tbl[d, :nt] = tbl[lo:hi]
 
     sh = NamedSharding(mesh, P(axis))
 
@@ -107,8 +99,7 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         # non-fully-addressable arrays).
         return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
 
-    out = (tuple(put(a) for a in stacked),
-           put(tile_s), put(tile_e), put(tile_src), put(tile_tbl))
+    out = (tuple(put(a) for a in stacked), put(tile_s), put(tile_e))
     plan._device[key] = out
     return out
 
@@ -125,54 +116,40 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "workers") -> Mesh:
 
 def pad_tiles_for_mesh(
     tile_edge_start: np.ndarray, n_devices: int,
-    tile_src_start: Optional[np.ndarray] = None,
     empty_at: Optional[int] = None,
-    tile_tbl_start: Optional[np.ndarray] = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Split tile windows into per-device (starts, ends, src_starts, tbl_starts)
-    of shape [T'], T' a multiple of ``n_devices``.  Padding tiles are empty
-    windows (start == end), so they skip via the scan's `lax.cond`."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split tile windows into per-device (starts, ends) of shape [T'], T' a
+    multiple of ``n_devices``.  Padding tiles are empty windows (start == end),
+    so they skip via the scan's `lax.cond`."""
     starts = np.asarray(tile_edge_start[:-1], dtype=np.int32)
     ends = np.asarray(tile_edge_start[1:], dtype=np.int32)
-    if tile_src_start is None:
-        srcs = np.zeros_like(starts)
-    else:
-        srcs = np.asarray(tile_src_start[:-1], dtype=np.int32)
-    if tile_tbl_start is None:
-        tbls = np.zeros_like(starts)
-    else:
-        tbls = np.asarray(tile_tbl_start[: starts.shape[0]], dtype=np.int32)
     t = starts.shape[0]
     tp = ((t + n_devices - 1) // n_devices) * n_devices
     if tp != t:
         fill = np.int32(tile_edge_start[-1] if empty_at is None else empty_at)
         starts = np.concatenate([starts, np.full(tp - t, fill, np.int32)])
         ends = np.concatenate([ends, np.full(tp - t, fill, np.int32)])
-        srcs = np.concatenate([srcs, np.full(tp - t, srcs[-1] if t else 0, np.int32)])
-        tbls = np.concatenate([tbls, np.full(tp - t, tbls[-1] if t else 0, np.int32)])
     # Round-robin assignment: device d takes tiles d, d+D, d+2D, ... so each
     # device sees an even mix of early (dense-row) and late (sparse-row) tiles.
     starts = starts.reshape(-1, n_devices).T.reshape(-1)
     ends = ends.reshape(-1, n_devices).T.reshape(-1)
-    srcs = srcs.reshape(-1, n_devices).T.reshape(-1)
-    tbls = tbls.reshape(-1, n_devices).T.reshape(-1)
-    return starts, ends, srcs, tbls
+    return starts, ends
 
 
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "local_w", "mesh", "axis",
+                     "deg16", "upper_only", "mesh", "axis",
                      "stream_sharded"),
 )
 def score_tiles_sharded(
     offsets, indices, degrees, wt_tables,
     stream,
-    tile_starts, tile_ends, tile_srcs, tile_tbls,
+    tile_starts, tile_ends,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    local_w: bool = False, mesh: Mesh, axis: str = "workers",
+    mesh: Mesh, axis: str = "workers",
     stream_sharded: bool = False,
 ) -> TopK:
     """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
@@ -190,18 +167,15 @@ def score_tiles_sharded(
 
     metrics = tuple(METRICS[name] for name in metric_names)
 
-    def local_scan(tile_s, tile_e, tile_src, tile_tbl, offsets, indices,
+    def local_scan(tile_s, tile_e, offsets, indices,
                    degrees, wt_tables, stream, min_score):
         if stream_sharded:
             stream = jax.tree.map(lambda a: a[0], stream)
             tile_s, tile_e = tile_s[0], tile_e[0]
-            tile_src, tile_tbl = tile_src[0], tile_tbl[0]
         stream_fn = _make_stream_fn(
             offsets, indices, degrees, wt_tables, stream,
-            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only,
-            local_w)
-        local = scan_tiles(stream_fn, tile_s, tile_e, tile_src, tile_tbl,
-                           k, len(metrics), cap)
+            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only)
+        local = scan_tiles(stream_fn, tile_s, tile_e, k, len(metrics), cap)
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)
         # leaves: [M, n_dev * k]; batched descending sort-merge back to [M, k]
@@ -218,12 +192,12 @@ def score_tiles_sharded(
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(stream_spec, stream_spec, stream_spec, stream_spec,
+        in_specs=(stream_spec, stream_spec,
                   rep, rep, rep,
                   jax.tree.map(lambda _: rep, wt_tables),
                   jax.tree.map(lambda _: stream_spec, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )
-    return fn(tile_starts, tile_ends, tile_srcs, tile_tbls, offsets, indices,
+    return fn(tile_starts, tile_ends, offsets, indices,
               degrees, wt_tables, stream, min_score)

@@ -161,13 +161,13 @@ def predict_links_multi(
     wt_tables = {} if (plan.packed and (hp is None or hp.packed)) else {
         s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
         for s in specs if s.needs_weight}
-    # Packed-key sort: always for the slot stream; for the edge stream the
-    # sentinel two-key sort measured faster on IHub workloads (A/B at RMAT-13:
-    # 2.85s vs 4.66s), so keyed-edge stays opt-in for future tuning.
+    # The stable w-key sort serves both streams whenever ids fit (n <= 2^30);
+    # w_bits == 0 selects the sentinel two-key edge sort (set
+    # LINKPRED_EDGE_SENTINEL=1 to force it, for A/B runs).
     import os as _os
-    edge_keyed = _os.environ.get("LINKPRED_EDGE_KEYED", "0") == "1"
-    w_bits = plan.w_bits if (plan.packed or (plan.keyed and edge_keyed)) else 0
-    stream, tile_start, tss, ttbl = plan.device_stream()
+    edge_sentinel = _os.environ.get("LINKPRED_EDGE_SENTINEL", "0") == "1"
+    w_bits = plan.w_bits if (plan.keyed and not (edge_sentinel and not plan.packed)) else 0
+    stream, tile_start, tss = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
     stream_sharded = False
@@ -180,16 +180,12 @@ def predict_links_multi(
             # Each device holds ONLY its contiguous slot-range block (stream
             # memory = total/D); the packed kernel reads nothing from the CSR
             # arrays, so only the degree vector stays replicated.
-            m_stream, t_starts, t_ends, t_srcs, t_tbls = \
-                shard_stream_for_mesh(plan, mesh, axis)
+            m_stream, t_starts, t_ends = shard_stream_for_mesh(plan, mesh, axis)
             dummy = jnp.zeros(1, jnp.int32)
         else:
-            t_starts, t_ends, t_srcs, t_tbls = pad_tiles_for_mesh(
-                plan.tile_start, mesh.shape[axis], plan.tile_src_start,
-                tile_tbl_start=plan.tile_tbl_start)
-            t_starts, t_ends, t_srcs, t_tbls = (
-                jnp.asarray(t_starts), jnp.asarray(t_ends),
-                jnp.asarray(t_srcs), jnp.asarray(t_tbls))
+            t_starts, t_ends = pad_tiles_for_mesh(
+                plan.tile_start, mesh.shape[axis])
+            t_starts, t_ends = jnp.asarray(t_starts), jnp.asarray(t_ends)
             m_stream = stream
 
     def run_scoring():
@@ -198,32 +194,32 @@ def predict_links_multi(
                 dummy if stream_sharded else gd.offsets,
                 dummy if stream_sharded else gd.indices,
                 gd.degrees, wt_tables, m_stream,
-                t_starts, t_ends, t_srcs, t_tbls, min_score,
+                t_starts, t_ends, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only, local_w=plan.local_w,
+                upper_only=plan.upper_only,
                 mesh=mesh, axis=axis, stream_sharded=stream_sharded,
             )
         else:
             top = score_tiles(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
-                tile_start, tss, ttbl, min_score,
+                tile_start, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only, local_w=plan.local_w,
+                upper_only=plan.upper_only,
             )
         if hp is None:
             return (top,)
         # Device-side hub pass: same engine, hub-sized tiles (the reference
         # keeps every source in the parallel loop, predict.hxx:287-288; the
         # dense host scorer survives only as a test oracle).
-        h_stream, h_tile_start, h_tss, h_ttbl = hp.device_stream()
+        h_stream, h_tile_start, h_tss = hp.device_stream()
         top_h = score_tiles(
             gd.offsets, gd.indices, gd.degrees, wt_tables, h_stream,
-            h_tile_start, h_tss, h_ttbl, min_score,
+            h_tile_start, min_score,
             metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
-            w_bits=hp.w_bits if hp.packed else 0, packed=hp.packed,
-            deg16=hp.deg16, upper_only=hp.upper_only, local_w=hp.local_w,
+            w_bits=hp.w_bits if hp.keyed else 0, packed=hp.packed,
+            deg16=hp.deg16, upper_only=hp.upper_only,
         )
         return (top, top_h)
 
@@ -243,12 +239,7 @@ def predict_links_multi(
             vs = np.asarray(t.v[i])
             transfer[0] += (_time.perf_counter() - t0) * 1e3
             valid = np.isfinite(scores)
-            scores, us, vs = scores[valid], us[valid], vs[valid]
-            if p.local_w:
-                # engine v is a tile-group id; decode to the vertex id
-                vs = p.w_table[
-                    np.clip(vs, 0, p.w_table.shape[0] - 1)].astype(np.int32)
-            return scores, us, vs
+            return scores[valid], us[valid], vs[valid]
 
         def finalize(i=i, name=name):
             scores, us, vs = fetch(top, plan, i)

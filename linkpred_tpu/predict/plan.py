@@ -21,16 +21,17 @@ shapes, so we *precompute* a balanced schedule on the host:
 **Two device-side execution formats** (static choice per plan):
 
 * **Packed slot stream** (``packed=True``, the fast path): the full expansion is
-  precomputed on the host as per-slot arrays — the candidate vertex ``slot_w``,
-  the sort-key high bits ``slot_keyhi`` (``u_local << (w_bits+1) | real_flag``),
+  precomputed on the host as per-slot arrays — the candidate vertex ``slot_w``
+  (the ONLY sort key), the source payload ``slot_u`` (``src << 1 | real_flag``),
   and the degree triplet (``slot_udeg``/``slot_wdeg``/``slot_middeg``) that the
   scoring formulas need.  The device does dynamic-slice window reads, one
-  single-operand uint32 key sort with the degrees as payloads, and one max-scan —
-  ZERO full-table gathers, no cumsum/scatter slot mapping (measured: in-scan
-  gathers cost 10-31 ms per 2^20 lanes; everything else is ~ms).  AA/RA weights
-  are computed elementwise from ``slot_middeg`` (no weight-table gather).  Used
-  when the tile source span fits the key's high bits and the slot count fits
-  ``slot_budget``.
+  STABLE single-key sort of w with u/degrees as payloads, and one max-scan —
+  stability + the killers-first stream order keep each (w, u) group contiguous
+  with its killer at the head, so no source-span bound exists and tiles fill to
+  ``cap`` at any n <= 2^30.  ZERO full-table gathers (measured: in-scan gathers
+  cost 10-31 ms per 2^20 lanes; narrow stable keyed sorts are 2x faster than
+  wide packed keys).  AA/RA weights are computed elementwise from
+  ``slot_middeg``.  Used when the slot count fits ``slot_budget``.
 * **Edge stream** (``packed=False``): per-edge arrays only; the device reconstructs
   the slot->edge mapping with cumsum + scatter + max-scan and sorts (u, w) as two
   int32 keys.  Memory-light — used for IHub-scale expansions (slot counts beyond
@@ -79,27 +80,23 @@ class TilePlan:
     huge_src: np.ndarray  # int64[H] sources routed to the dense fallback
     total_slots: int      # expansion slots across tiles (incl. killer slots)
     huge_slots: int       # expansion slots routed to the huge-source path
-    w_bits: int           # width of the w field in the packed sort key
+    w_bits: int           # bit width of candidate ids (pads live at 2^w_bits+)
     upper_only: bool      # True => score pairs w > u only (full-graph mode)
     deg16: bool           # True => all degrees < 2^16 (degree pair packs to one i32)
-    keyed: bool           # True => tiles satisfy the packed-key source-span bound
+    keyed: bool           # True => candidate ids fit the w key (n <= 2^30)
     packed: bool          # True => slot stream precomputed (fast path)
-    local_w: bool = False  # True => slot_w holds tile-local candidate ids; the
-    #                        engine reports group ids decoded via ``w_table``
     huge_plan: Optional["TilePlan"] = None  # device sub-plan for hub sources
     #                        whose expansion exceeds one ``cap`` tile
     # Packed slot stream (None unless packed).  Everything the device pipeline
     # needs is precomputed per slot, so tiles run with ZERO full-table gathers
     # (measured: in-scan gathers cost 10-31 ms per 2^20 lanes; dynamic-slice
     # window reads are ~free):
-    slot_w: Optional[np.ndarray] = None      # int32[S_pad] candidate vertex w
-    slot_keyhi: Optional[np.ndarray] = None  # int32[S_pad] u_local<<(w_bits+1)|real
+    slot_w: Optional[np.ndarray] = None      # int32[S_pad] candidate w (the key)
+    slot_u: Optional[np.ndarray] = None      # int32[S_pad] src<<1 | real_flag
     slot_udeg: Optional[np.ndarray] = None   # int32[S_pad] deg(u)
     slot_wdeg: Optional[np.ndarray] = None   # int32[S_pad] deg(w)
     slot_middeg: Optional[np.ndarray] = None  # int32[S_pad] deg(mid) (AA/RA wts)
     tile_slot_start: Optional[np.ndarray] = None  # int32[T_pad + 1]
-    w_table: Optional[np.ndarray] = None     # int64[G] group id -> vertex (local_w)
-    tile_tbl_start: Optional[np.ndarray] = None  # int32[T_pad] first group per tile
     # Memoized device copies (mutable contents of a frozen dataclass — not part
     # of equality/pytree; streams are hundreds of MB, so re-uploading per call
     # through the host link costs seconds).
@@ -124,7 +121,7 @@ class TilePlan:
 
             if self.packed:
                 d["stream"] = (jnp.asarray(self.slot_w),
-                               jnp.asarray(self.slot_keyhi),
+                               jnp.asarray(self.slot_u),
                                jnp.asarray(self.slot_udeg),
                                jnp.asarray(self.slot_wdeg),
                                jnp.asarray(self.slot_middeg))
@@ -134,12 +131,7 @@ class TilePlan:
                                jnp.asarray(self.fe_cnt))
             d["tile_start"] = jnp.asarray(self.tile_start)
             d["tile_src_start"] = jnp.asarray(self.tile_src_start)
-            tbl = self.tile_tbl_start
-            if tbl is None:
-                tbl = np.zeros(self.num_tiles_padded, dtype=np.int32)
-            d["tile_tbl_start"] = jnp.asarray(tbl)
-        return (d["stream"], d["tile_start"], d["tile_src_start"],
-                d["tile_tbl_start"])
+        return d["stream"], d["tile_start"], d["tile_src_start"]
 
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
@@ -210,7 +202,10 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         np.ones(src.shape[0] - kuniq.shape[0], dtype=bool),
         np.zeros(kuniq.shape[0], dtype=bool),
     ])
-    order = np.lexsort((mid, src))
+    # Killers sort FIRST within each source: the stable w-key sort preserves
+    # stream order inside each (w, u) group, which is what puts a killer at
+    # its run's head (the liveness test reads the first slot's flag).
+    order = np.lexsort((mid, real, src))
     src, mid, real, skip = src[order], mid[order], real[order], skip[order]
     work = deg[mid] - skip
 
@@ -240,34 +235,17 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     m1 = src.shape[0]
     total_slots = int(work.sum())
 
-    # Packed-key sort (scoring.py): key = u_local << (w_bits+1) | w << 1 | real.
-    # A tile's source-ID span must fit the high bits (top rank reserved for pads).
-    # When vertex ids are too wide (n >= 2^23 — the sk-2005 class), candidates
-    # are REMAPPED per tile to dense local ids: distinct candidates per tile are
-    # bounded by the tile's slot count <= cap, so log2(cap) bits always suffice
-    # and the packed single-key sort works at ANY graph scale.  The device then
-    # reports encoded group ids (tile_tbl_start + w_local) decoded through
-    # ``w_table`` after the top-k merge (full-graph mode only; restricted-source
-    # plans fall back to the sentinel edge stream at this scale).
     deg16 = bool(deg.max(initial=0) < (1 << 16))
-    # ids go up to n-1: bit_length(n-1), not bit_length(n) — at n = 2^b the
-    # difference is a whole extra source bit (2x the tile span).
+    # Stable w-key sort layout (scoring.py): the key is the candidate vertex w
+    # ALONE (ids need bit_length(n-1) bits; one extra value range above 2^w_bits
+    # marks pad/dead lanes), u rides as a payload, and sort stability plus the
+    # killers-first stream order keeps each (w, u) group contiguous with its
+    # killer at the head.  No source-span bound exists, so tiles fill to cap
+    # and any n < 2^30 works.  (Measured: the stable 3-operand w-key sort is
+    # 2x FASTER than the old unstable packed-key sort — narrow keys win.)
     w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
-    local_w = False
-    if 31 - w_bits < 8 and upper_only:
-        wl_bits = max(int(cap - 1).bit_length(), 1)
-        if 31 - wl_bits >= 8:
-            w_bits = wl_bits
-            local_w = True
-    u_bits = 31 - w_bits
-    keyed = u_bits >= 8                  # packed-key sort possible (span bound)
+    keyed = w_bits + 1 <= 31             # one spare value range for pads
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
-    if local_w and not packed:
-        local_w = False                  # remap needs the materialized stream
-        w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
-        u_bits = 31 - w_bits
-        keyed = False
-    span_max = (1 << u_bits) - 2 if keyed else n
 
     # Source-aligned greedy partition: tile boundaries at row starts, each tile's
     # slot total <= cap.  The Python loop runs num_tiles times (small).
@@ -279,12 +257,10 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     starts, ends = [], []
     b = 0
     while row_prefix[b] < total_slots:
-        # first source >= b with any slots (skip inactive ranges so the span
-        # bound never manufactures empty tiles)
+        # first source >= b with any slots (skip inactive ranges)
         a = int(np.searchsorted(row_prefix, row_prefix[b], side="right")) - 1
         a = max(a, b)
         nb = int(np.searchsorted(row_prefix, row_prefix[a] + cap, side="right")) - 1
-        nb = min(nb, a + span_max)
         if nb <= a:  # defensive; cannot happen since per-source work <= cap
             nb = a + 1
         starts.append(a)
@@ -315,10 +291,8 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     fe_skip[:m1] = skip
     fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
 
-    slot_w = slot_keyhi = slot_udeg = slot_wdeg = slot_middeg = None
+    slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
     tile_slot_start = None
-    w_table = None
-    tile_tbl_start = np.zeros(t_pad, dtype=np.int32)
     if packed and starts:
         # --- host-side slot expansion (one np.repeat pass over the stream) ----
         work32 = work.astype(np.int64)
@@ -328,57 +302,30 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         j = s_iota - eprefix[eloc]
         adr = offsets64[mid][eloc] + skip[eloc] + j
         wv = indices[adr]
-        # tile of each edge -> u_local relative to its tile's first source
-        starts_arr = np.asarray(starts, dtype=np.int64)
-        tile_of_edge = np.searchsorted(starts_arr, src, side="right") - 1
-        ul_edge = src - starts_arr[tile_of_edge]
-        keyhi_edge = (ul_edge.astype(np.uint32) << np.uint32(w_bits + 1)) | real.astype(np.uint32)
-        if local_w:
-            # Dense per-tile candidate ids: sort slots by (tile, w), rank the
-            # distinct values, scatter ranks back to stream order.  ``w_table``
-            # maps the global group id (tile_tbl_start[t] + w_local) back to the
-            # vertex id — applied host-side to the k merged winners only.
-            tile_of_slot = tile_of_edge.repeat(work32)
-            order2 = np.lexsort((wv, tile_of_slot))
-            tw, ww = tile_of_slot[order2], wv[order2]
-            new_grp = np.empty(total_slots, dtype=bool)
-            new_grp[0] = True
-            np.logical_or(tw[1:] != tw[:-1], ww[1:] != ww[:-1], out=new_grp[1:])
-            gid_sorted = np.cumsum(new_grp) - 1
-            n_groups = int(gid_sorted[-1]) + 1
-            w_table = np.zeros(max(n_groups, 1), dtype=np.int64)
-            w_table[gid_sorted[new_grp]] = ww[new_grp]
-            # first group id of each tile (slots are sorted by tile)
-            tile_start_mask = np.concatenate([[True], tw[1:] != tw[:-1]])
-            tile_first = np.zeros(num_tiles, dtype=np.int64)
-            tile_first[tw[tile_start_mask]] = gid_sorted[tile_start_mask]
-            gid = np.empty(total_slots, dtype=np.int64)
-            gid[order2] = gid_sorted
-            wl = gid - tile_first[tile_of_slot]
-            assert int(wl.max(initial=0)) < (1 << w_bits)
-            wv_key = wl
-            tile_tbl_start[:num_tiles] = tile_first
-        else:
-            wv_key = wv
+        upay_edge = (src.astype(np.int64) << 1) | real.astype(np.int64)
         s_pad = _next_pow2(total_slots + cap)
         slot_w = np.zeros(s_pad, dtype=np.int32)
-        slot_keyhi = np.zeros(s_pad, dtype=np.int32)
+        slot_u = np.zeros(s_pad, dtype=np.int32)
         slot_udeg = np.zeros(s_pad, dtype=np.int32)
         slot_wdeg = np.zeros(s_pad, dtype=np.int32)
         slot_middeg = np.zeros(s_pad, dtype=np.int32)
-        slot_w[:total_slots] = wv_key
-        slot_keyhi[:total_slots] = np.repeat(keyhi_edge, work32).view(np.int32)
+        slot_w[:total_slots] = wv
+        slot_u[:total_slots] = np.repeat(upay_edge, work32)
         slot_udeg[:total_slots] = np.repeat(deg[src], work32)
         slot_wdeg[:total_slots] = deg[wv]
         slot_middeg[:total_slots] = np.repeat(deg[mid], work32)
+        if not upper_only:
+            # serving mode scores directed pairs w != u; self-candidates are
+            # marked DEAD by pushing their key into the pad range (spread so no
+            # sentinel mass forms)
+            dead = wv == np.repeat(src, work32)
+            if dead.any():
+                di = np.nonzero(dead)[0]
+                slot_w[di] = (1 << w_bits) + (di & 1023)
         tile_slot_start = np.full(t_pad + 1, total_slots, dtype=np.int32)
         tile_slot_start[: num_tiles + 1] = row_prefix[bounds]
     elif packed:
         packed = False
-        if local_w:
-            local_w = False
-            w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
-            keyed = False
 
     return TilePlan(
         fe_src=fe_src,
@@ -398,12 +345,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         deg16=deg16,
         keyed=keyed,
         packed=packed,
-        local_w=local_w,
         huge_plan=huge_plan,
-        w_table=w_table,
-        tile_tbl_start=tile_tbl_start,
         slot_w=slot_w,
-        slot_keyhi=slot_keyhi,
+        slot_u=slot_u,
         slot_udeg=slot_udeg,
         slot_wdeg=slot_wdeg,
         slot_middeg=slot_middeg,

@@ -17,17 +17,20 @@ This is the TPU-native re-expression of the reference's hot loop
 Two execution paths (chosen statically by the plan, see `plan.py`):
 
 * **Packed slot stream** (fast): the expansion is precomputed host-side; the
-  device does dynamic-slice window reads → one single-key uint32 sort (degrees
-  ride as payloads; no gathers at all) → one max-scan.  The common-neighbor
-  count is the *run length* (killers invalidate, never subtract).  Performance
-  notes (measured on v5e): XLA's TPU sort degrades ~300x on multi-key clustered
-  input; in-scan indexed reads with dynamic starts lower to full gathers
-  (10-31 ms per 2^20 lanes); a batched [M, N] dimension-1 sort picks a T(1,128)
-  layout ~10x slower than 1-D sorts — all avoided here by construction.
+  device does dynamic-slice window reads → one STABLE single-key sort of the
+  candidate id w (source/degrees ride as payloads; no gathers at all) → one
+  max-scan.  Stability + the plan's killers-first stream order keep each
+  (w, u) group contiguous with its killer at the head, so the common-neighbor
+  count is the *run length* (killers invalidate, never subtract) and no
+  source-span bound exists.  Performance notes (measured on v5e): narrow
+  stable single-key sorts are 2x FASTER than the wide packed (u,w,flag) key
+  this replaced; in-scan indexed reads with dynamic starts lower to full
+  gathers (10-31 ms per 2^20 lanes); a batched [M, N] dimension-1 sort picks a
+  T(1,128) layout ~10x slower than 1-D sorts — all avoided by construction.
 * **Edge stream** (memory-light fallback): the device rebuilds the slot mapping
-  (cumsum + scatter + max-scan) and reduces via the sentinel two-key sort (or
-  the packed key with LINKPRED_EDGE_KEYED=1).  Used for IHub-scale expansions
-  where materializing slots would blow memory.
+  (cumsum + scatter + max-scan) and reduces via the same stable w-key sort
+  (sentinel two-key sort when ids exceed 2^30 or LINKPRED_EDGE_SENTINEL=1).
+  Used for IHub-scale expansions where materializing slots would blow memory.
 
 Everything is static-shaped and jit-compiled once per (metric, cap, k, padded
 sizes) — the analog of the reference's template instantiation.
@@ -70,60 +73,51 @@ def _score_runs(metrics, du, dw, cnt_tot, wt_tots, valid, maxf2, min_score):
 
 
 def _pad_key(iota, w_bits):
-    """Keys for invalid/padding lanes: the reserved top source rank, with w bits
-    spread by lane index (a constant sentinel mass degrades XLA's sort ~300x)."""
-    u32 = jnp.uint32
-    w_mask = jnp.uint32((1 << w_bits) - 1)
-    pad_rank = jnp.uint32((1 << (31 - w_bits)) - 1)
-    return (pad_rank << (w_bits + 1)) | ((iota.astype(u32) & w_mask) << 1) \
-        | jnp.uint32(1)
+    """Keys for invalid/padding lanes: one value range above every real
+    candidate id, spread by lane index (a constant sentinel mass degrades XLA's
+    sort)."""
+    return jnp.int32(1 << w_bits) | (iota & jnp.int32(1023))
 
 
-def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
-                       t_src_start, t_tbl=0, *, w_bits: int, n: int, maxf2: int,
-                       min_score, deg16: bool = False, upper_only: bool = True,
-                       local_w: bool = False):
-    """Shared reduce: single-key sort (degree payloads) → run boundaries →
-    count-by-run-length with killer-flag liveness → per-metric scores.
+def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
+                       *, w_bits: int, n: int, maxf2: int,
+                       min_score, deg16: bool = False):
+    """Shared reduce: STABLE single-key sort of the candidate id w (payloads:
+    ``upay`` = src << 1 | real_flag, degrees, AA/RA weights) → run boundaries on
+    (w, src) → count-by-run-length with killer-flag liveness → scores.
 
-    ``key`` = u_local << (w_bits+1) | w << 1 | real_flag; killers (flag 0) sort
-    to their run's head, so a run is alive iff its first element is real and the
-    common-neighbor count is simply the run length — no count payload.
-    ``deg16`` packs the degree pair into one int32 payload (fewer sort operands).
+    Stability + the plan's killers-first stream order keep each (w, u) group
+    contiguous with its killer slots at the head, so a run is alive iff its
+    first slot is real and the common-neighbor count is simply the run length.
+    Narrow single keys sort 2x faster than the wide packed (u, w, flag) key
+    this replaces, stability is free (measured), and no source-span bound
+    exists — tiles fill to cap at any n <= 2^30.
+    ``deg16`` packs the degree pair into one int32 payload (fewer operands).
     """
     i32 = jnp.int32
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
-    w_mask = jnp.uint32((1 << w_bits) - 1)
-    pad_rank = (1 << (31 - w_bits)) - 1
 
     if deg16:
         dpack = (udeg << 16) | wdeg
-        if weighted:
-            key, dpack, *wts = jax.lax.sort(
-                (key, dpack, *wts), num_keys=1, is_stable=False)
-        else:
-            key, dpack = jax.lax.sort(
-                (key, dpack), num_keys=1, is_stable=False)
+        key, upay, dpack, *wts = jax.lax.sort(
+            (key, upay, dpack, *wts), num_keys=1, is_stable=True)
         # Mask after the shift: for udeg >= 2^15 the pack sets the int32 sign
         # bit and `>> 16` alone would sign-extend (40000 would come back as
         # -25536, silently corrupting every degree-dependent metric).
         udeg = (dpack >> 16) & 0xFFFF
         wdeg = dpack & 0xFFFF
-    elif weighted:
-        key, udeg, wdeg, *wts = jax.lax.sort(
-            (key, udeg, wdeg, *wts), num_keys=1, is_stable=False)
     else:
-        key, udeg, wdeg = jax.lax.sort(
-            (key, udeg, wdeg), num_keys=1, is_stable=False)
+        key, upay, udeg, wdeg, *wts = jax.lax.sort(
+            (key, upay, udeg, wdeg, *wts), num_keys=1, is_stable=True)
 
-    rb = key >> 1                                 # run id = (u_local, w)
-    neq = rb[1:] != rb[:-1]
+    src = upay >> 1
+    neq = (key[1:] != key[:-1]) | (src[1:] != src[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
     # One max-scan carries both the run-start position and the first slot's
     # real/killer flag.
-    flag = (key & 1).astype(i32)
+    flag = (upay & 1).astype(i32)
     m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
     start = m >> 1
     alive = (m & 1) == 1
@@ -135,38 +129,26 @@ def _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
         tots = tots if isinstance(tots, tuple) else (tots,)
         wt_tots = {m.name: t for m, t in zip(weighted, tots)}
 
-    rank = (key >> (w_bits + 1)).astype(i32)
-    ku = t_src_start + rank
-    kw = ((key >> 1) & w_mask).astype(i32)
-    if local_w:
-        # kw is a tile-local candidate id; report the global GROUP id (decoded
-        # to a vertex via the plan's w_table after the top-k merge).  The plan
-        # prefilters w > u, so no pair check is possible or needed here.
-        valid = is_end & alive & (rank != pad_rank)
-        ku = jnp.minimum(ku, n - 1)
-        kw = t_tbl + kw
-    else:
-        # deferred candidate filter ft (predict.hxx:221 "v>u"; source-restricted
-        # plans keep all directed second-order pairs) + pad exclusion
-        pair_ok = (kw > ku) if upper_only else (kw != ku)
-        valid = is_end & alive & pair_ok & (rank != pad_rank)
-        ku = jnp.minimum(ku, n - 1)               # pad ranks overflow vertex range
-        kw = jnp.minimum(kw, n - 1)
+    # pads/dead lanes live at key >= 2^w_bits; the w > u (or w != u) candidate
+    # filter was applied at plan time (predict.hxx:221 ft)
+    valid = is_end & alive & (key < (1 << w_bits))
+    ku = jnp.minimum(src, n - 1)
+    kw = jnp.minimum(key, n - 1)
     scores = _score_runs(metrics, udeg, wdeg, cnt_tot, wt_tots, valid,
                          maxf2, min_score)
     return scores, ku, kw
 
 
 def tile_candidates_packed(
-    slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
-    t_start, t_end, t_src_start, t_tbl=0,
+    slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
+    t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-    deg16: bool = False, upper_only: bool = True, local_w: bool = False,
+    deg16: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
-    every per-slot quantity (candidate w, key high bits, the three degrees) is a
-    dynamic-slice window read; degrees ride the key sort as payloads; AA/RA
-    weights are elementwise functions of deg(mid).
+    every per-slot quantity (candidate w, source payload, the three degrees) is
+    a dynamic-slice window read; everything rides the stable w-key sort as
+    payloads; AA/RA weights are elementwise functions of deg(mid).
 
     One expansion + one sort serves every metric in ``metrics`` (the reference
     runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
@@ -174,47 +156,44 @@ def tile_candidates_packed(
     Returns (scores [M, cap], ku [cap], kw [cap]).
     """
     i32 = jnp.int32
-    u32 = jnp.uint32
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
 
     def window(a):
         return jax.lax.dynamic_slice(a, (t_start,), (cap,))
 
-    keyhi = window(slot_keyhi)
+    upay = window(slot_u)
     w = window(slot_w)
     udeg = window(slot_udeg)
     wdeg = window(slot_wdeg)
     lanes = iota < (t_end - t_start)
-    key = jnp.where(lanes, keyhi.astype(u32) | (w.astype(u32) << 1),
-                    _pad_key(iota, w_bits))
+    key = jnp.where(lanes, w, _pad_key(iota, w_bits))
 
     weighted = [m for m in metrics if m.needs_weight]
     wts = []
     if weighted:
         middeg = window(slot_middeg)
-        real = lanes & ((keyhi & 1) == 1)
+        real = lanes & ((upay & 1) == 1)
         wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
                for m in weighted]
-    return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
-                              t_src_start, t_tbl, w_bits=w_bits, n=n,
-                              maxf2=maxf2, min_score=min_score, deg16=deg16,
-                              upper_only=upper_only, local_w=local_w)
+    return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
+                              w_bits=w_bits, n=n,
+                              maxf2=maxf2, min_score=min_score, deg16=deg16)
 
 
 def tile_candidates(
     offsets, indices, degrees, wt_tables,
     fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
-    t_start, t_end, t_src_start,
+    t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
     Memory-light path for expansions too large to materialize (IHub-scale).
-    When ``w_bits > 0`` (the plan's source-span bound holds) the reduction uses
-    the same packed-key sort as the slot stream — degrees and AA/RA weights are
-    gathered pre-sort and ride as payloads.  ``w_bits == 0`` (very wide vertex
-    IDs) falls back to the two-int32-key sentinel sort.
+    When ``w_bits > 0`` (ids fit the w key, n <= 2^30) the reduction is the
+    same stable w-key sort as the slot stream — source/degrees/AA-RA weights
+    are gathered pre-sort and ride as payloads.  ``w_bits == 0`` falls back to
+    the two-int32-key sentinel sort.
     Returns (scores [M, cap], ku, kw).
     """
     i32 = jnp.int32
@@ -248,12 +227,13 @@ def tile_candidates(
     weighted = [m for m in metrics if m.needs_weight]
 
     if w_bits:
-        # --- packed-key reduction (shared with the slot stream) -------------
-        u32 = jnp.uint32
+        # --- stable w-key reduction (shared with the slot stream) -----------
         real = cnt > 0
-        key = ((u - t_src_start).astype(u32) << (w_bits + 1)) \
-            | (w.astype(u32) << 1) | real.astype(u32)
-        key = jnp.where(svalid, key, _pad_key(iota, w_bits))
+        # serving mode (upper_only=False) scores w != u; self-candidates go to
+        # the pad range (upper_only prefilters w <= u at plan time already)
+        dead = ~svalid if upper_only else (~svalid | (w == u))
+        key = jnp.where(dead, _pad_key(iota, w_bits), w)
+        upay = (u << 1) | real.astype(i32)
         udeg = degrees[jnp.clip(u, 0, n - 1)]
         wdeg = degrees[jnp.clip(w, 0, n - 1)]
         wts = []
@@ -262,10 +242,9 @@ def tile_candidates(
             wts = [jnp.where(svalid & real, wt_tables[m.name][midc],
                              jnp.float32(0.0))
                    for m in weighted]
-        return _keyed_sort_reduce(key, udeg, wdeg, wts, weighted, metrics,
-                                  t_src_start, w_bits=w_bits, n=n, maxf2=maxf2,
-                                  min_score=min_score, deg16=deg16,
-                                  upper_only=upper_only)
+        return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted,
+                                  metrics, w_bits=w_bits, n=n, maxf2=maxf2,
+                                  min_score=min_score, deg16=deg16)
 
     # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
     cand = svalid & ((w > u) if upper_only else (w != u))
@@ -312,10 +291,10 @@ def _desc_score_key(x):
 
 
 def scan_tiles(
-    stream_fn, tile_start, tile_end, tile_src, tile_tbl, k: int,
+    stream_fn, tile_start, tile_end, k: int,
     num_metrics: int, cap: int,
 ) -> TopK:
-    """Run ``stream_fn(t_start, t_end, t_src, t_tbl) -> (scores [M, cap], u, v)``
+    """Run ``stream_fn(t_start, t_end) -> (scores [M, cap], u, v)``
     over all tiles under `lax.scan`, then select the global top-k.
 
     The per-thread heap + serial k-way merge of the reference
@@ -330,25 +309,22 @@ def scan_tiles(
     """
     i32 = jnp.int32
 
-    def work(t_start, t_end, t_src, t_tbl):
-        return stream_fn(t_start, t_end, t_src, t_tbl)
-
     def empty(*_):
         return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
                 jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
 
     def body(carry, ts):
-        t_start, t_end, t_src, t_tbl = ts
+        t_start, t_end = ts
         if _USE_COND:
             out = jax.lax.cond(t_start < t_end,
-                               lambda: work(t_start, t_end, t_src, t_tbl),
+                               lambda: stream_fn(t_start, t_end),
                                empty)
         else:
-            out = work(t_start, t_end, t_src, t_tbl)
+            out = stream_fn(t_start, t_end)
         return carry, out
 
     _, (scores, us, vs) = jax.lax.scan(
-        body, 0, (tile_start, tile_end, tile_src, tile_tbl))
+        body, 0, (tile_start, tile_end))
     total = scores.shape[0] * cap
     us = us.reshape(total)
     vs = vs.reshape(total)
@@ -368,27 +344,26 @@ def scan_tiles(
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
-                    deg16=False, upper_only=True, local_w=False):
+                    deg16=False, upper_only=True):
     if packed:
-        slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg = stream
+        slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
 
-        def stream_fn(t_start, t_end, t_src, t_tbl):
+        def stream_fn(t_start, t_end):
             return tile_candidates_packed(
-                slot_w, slot_keyhi, slot_udeg, slot_wdeg, slot_middeg,
-                t_start, t_end, t_src, t_tbl,
+                slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
+                t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, n=n, deg16=deg16, upper_only=upper_only,
-                local_w=local_w,
+                w_bits=w_bits, n=n, deg16=deg16,
             )
     else:
         fe_src, fe_mid, fe_work, fe_skip, fe_cnt = stream
 
-        def stream_fn(t_start, t_end, t_src, t_tbl):
+        def stream_fn(t_start, t_end):
             return tile_candidates(
                 offsets, indices, degrees, wt_tables,
                 fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
-                t_start, t_end, t_src,
+                t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, deg16=deg16, upper_only=upper_only,
             )
@@ -398,16 +373,15 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "local_w"),
+                     "deg16", "upper_only"),
 )
 def score_tiles(
     offsets, indices, degrees, wt_tables,
     stream,
-    tile_start, tile_src_start, tile_tbl_start,
+    tile_start,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    local_w: bool = False,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -419,10 +393,9 @@ def score_tiles(
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
-                                deg16, upper_only, local_w)
+                                deg16, upper_only)
     return scan_tiles(
-        stream_fn, tile_start[:-1], tile_start[1:], tile_src_start[:-1],
-        tile_tbl_start, k, len(metrics), cap)
+        stream_fn, tile_start[:-1], tile_start[1:], k, len(metrics), cap)
 
 
 def score_huge_sources_host(

@@ -20,8 +20,8 @@ def mesh8():
 
 def test_pad_tiles_for_mesh_roundrobin():
     tes = np.array([0, 5, 9, 12, 12], dtype=np.int32)  # 4 tiles, last empty
-    starts, ends, srcs, _ = pad_tiles_for_mesh(tes, n_devices=3)
-    assert starts.shape == ends.shape == srcs.shape == (6,)
+    starts, ends = pad_tiles_for_mesh(tes, n_devices=3)
+    assert starts.shape == ends.shape == (6,)
     # every original window present exactly once
     got = sorted(zip(starts.tolist(), ends.tolist()))
     assert sorted([(0, 5), (5, 9), (9, 12), (12, 12)] + [(12, 12)] * 2) == got
@@ -68,7 +68,7 @@ def test_stream_sharding_distributes_memory(rng, mesh8):
     g = random_graph(rng, n=400, avg_deg=8)
     plan = build_plan(g, 0, cap=1024)
     assert plan.packed
-    stream, ts, te, _, _ = shard_stream_for_mesh(plan, mesh8)
+    stream, ts, te = shard_stream_for_mesh(plan, mesh8)
     d = 8
     for a in stream:
         assert a.shape[0] == d

@@ -119,12 +119,11 @@ def test_repeat_timing(rng):
 
 
 @pytest.mark.parametrize("metric", ["common_neighbors", "adamic_adar"])
-def test_edge_stream_keyed_path_vs_oracle(rng, metric, monkeypatch):
-    # slot_budget=0 forces packed=False while the span bound (keyed) holds;
-    # LINKPRED_EDGE_KEYED exercises the packed-key sort on the edge stream.
+def test_edge_stream_keyed_path_vs_oracle(rng, metric):
+    # slot_budget=0 forces packed=False; the edge stream then uses the stable
+    # w-key sort (the default whenever ids fit).
     from linkpred_tpu.predict.plan import build_plan
 
-    monkeypatch.setenv("LINKPRED_EDGE_KEYED", "1")
     g = random_graph(rng, n=150, avg_deg=5)
     plan = build_plan(g, 0, cap=4096, slot_budget=0)
     assert not plan.packed and plan.keyed
@@ -138,11 +137,12 @@ def test_edge_stream_keyed_path_vs_oracle(rng, metric, monkeypatch):
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
 
 
-def test_edge_stream_sentinel_path_vs_oracle(rng):
-    # the edge stream's default: two-key sentinel sort (measured faster for
-    # IHub workloads than the packed-key variant).
+def test_edge_stream_sentinel_path_vs_oracle(rng, monkeypatch):
+    # the two-key sentinel sort (the w_bits == 0 fallback for n > 2^30, forced
+    # here via env for coverage)
     from linkpred_tpu.predict.plan import build_plan
 
+    monkeypatch.setenv("LINKPRED_EDGE_SENTINEL", "1")
     g = random_graph(rng, n=120, avg_deg=5)
     plan = build_plan(g, 4, cap=4096, slot_budget=0)
     pairs = oracle_scores(g, "jaccard_coefficient", 4)

@@ -87,19 +87,19 @@ def test_native_truncated_record_stops(tmp_path):
 
 
 @pytest.mark.parametrize("metric", ["jaccard_coefficient", "adamic_adar"])
-def test_bign_local_remap_packed_path(rng, metric):
-    # n > 2^23 used to kill the packed path (the global w id no longer fits the
-    # 32-bit key).  The tile-local candidate remap keeps it alive at any scale:
-    # spread a 300-vertex graph over an 8.4M-id space and check exactness
-    # against the same graph with compact ids (identical degrees => identical
-    # scores).
+def test_bign_packed_path(rng, metric):
+    # n > 2^23 used to kill the old packed-key path (u and w no longer fit one
+    # 32-bit key).  The stable w-only-key sort has no source-span bound, so the
+    # packed path survives at any n <= 2^30: spread a 300-vertex graph over an
+    # 8.4M-id space and check exactness against the same graph with compact ids
+    # (identical degrees => identical scores).
     n_big = (1 << 23) + 1
     ids = np.sort(rng.choice(n_big, size=300, replace=False))
     small = random_graph(rng, n=300, avg_deg=5)
     s_src, s_dst = np.nonzero(to_dense(small))
     g_big = from_edges(ids[s_src], ids[s_dst], n=n_big)
     plan = build_plan(g_big, 4, cap=4096)
-    assert plan.packed and plan.local_w, (plan.packed, plan.local_w, plan.w_bits)
+    assert plan.packed and plan.keyed, (plan.packed, plan.keyed, plan.w_bits)
     res_big = predict_links(g_big, metric=metric, min_degree1=4,
                             options=PredictOptions(max_edges=10_000), plan=plan)
     res_small = predict_links(small, metric=metric, min_degree1=4,
