@@ -30,6 +30,7 @@ def _run() -> int:
     metric = os.environ.get("BENCH_METRIC", "jaccard_coefficient")
     deg = int(os.environ.get("BENCH_DEG", "64"))
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    cap = int(os.environ.get("BENCH_CAP", str(1 << 20)))
     baseline_edges_per_s = 38.1e6  # README.md:9 (LHub, sk-2005, 32 threads)
 
     import numpy as np
@@ -50,6 +51,7 @@ def _run() -> int:
         y, metric=metric, min_degree1=deg,
         options=PredictOptions(repeat=repeat,
                                max_edges=max(deletions.shape[0] // 2, 1)),
+        cap=cap,
     )
     rate = y.size / max(res.scoring_ms / 1e3, 1e-9)
     print(json.dumps({

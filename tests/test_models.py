@@ -76,6 +76,41 @@ def test_train_sage_learns_structure(rng):
     assert intra > inter
 
 
+def test_gnn_ranking_quality_auc(rng):
+    # Ranking-quality assertion (not just loss-decreases): remove edges, train
+    # on the rest, and require held-out edges to rank above random non-edges
+    # (pairwise AUC) well beyond chance.
+    import jax.numpy as jnp
+
+    from linkpred_tpu.graph import edge_list
+    from linkpred_tpu.ops.batch import apply_batch, generate_edge_deletions, tidy_batch
+
+    g = community_graph(rng, n_comm=5, size=14, p_in=0.7)
+    deletions = generate_edge_deletions(rng, g, g.size // 10, undirected=True)
+    deletions, ins = tidy_batch(deletions, np.empty((0, 2), np.int64), g)
+    y = apply_batch(g, deletions, ins)
+
+    params, feats, _ = train_sage(y, steps=150, hidden=16, out_dim=8, seed=0)
+    esrc, edst = edge_list(y)
+    emb = sage_encode(params, jnp.asarray(feats), jnp.asarray(esrc, jnp.int32),
+                      jnp.asarray(edst, jnp.int32), jnp.asarray(y.degrees))
+
+    pos = deletions[deletions[:, 0] < deletions[:, 1]]
+    neg = []
+    while len(neg) < len(pos):
+        u, v = int(rng.integers(0, y.n)), int(rng.integers(0, y.n))
+        if u != v and not g.has_edge(u, v):
+            neg.append((min(u, v), max(u, v)))
+    neg = np.asarray(neg)
+    ps = np.asarray(sddmm_scores(emb, jnp.asarray(pos[:, 0], jnp.int32),
+                                 jnp.asarray(pos[:, 1], jnp.int32)))
+    ns = np.asarray(sddmm_scores(emb, jnp.asarray(neg[:, 0], jnp.int32),
+                                 jnp.asarray(neg[:, 1], jnp.int32)))
+    auc = float(np.mean(ps[:, None] > ns[None, :])
+                + 0.5 * np.mean(ps[:, None] == ns[None, :]))
+    assert auc > 0.65, f"held-out ranking AUC {auc:.3f} barely beats chance"
+
+
 def test_gnn_and_hybrid_predict(rng):
     g = community_graph(rng, n_comm=3, size=12, p_in=0.8)
     params, feats, _ = train_sage(g, steps=60, hidden=16, out_dim=8, seed=1)
