@@ -174,14 +174,13 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     # the skip count has a closed form over the globally-sorted (src, dst) edge
     # keys.  This halves the slot stream for symmetric graphs — the device sorts
     # half the data for identical results.
+    gkeys = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
+             + indices[: g.m])
     if upper_only and src.size:
-        gkeys = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
-                 + indices[: g.m])
         skip = np.searchsorted(gkeys, mid * n + src, side="right") - offsets64[mid]
         nz = deg[mid] - skip > 0
         src, mid, skip = src[nz], mid[nz], skip[nz]
     else:
-        gkeys = None
         skip = np.zeros(src.shape[0], dtype=np.int64)
 
     # Killer pseudo-edges: one per active source, expanding over N(u) itself
@@ -247,27 +246,88 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     keyed = w_bits + 1 <= 31             # one spare value range for pads
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
 
-    # Source-aligned greedy partition: tile boundaries at row starts, each tile's
-    # slot total <= cap.  The Python loop runs num_tiles times (small).
-    row_prefix = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(w_u, out=row_prefix[1:])
+    def partition(prefix):
+        # Source-aligned greedy partition: tile boundaries at row starts, each
+        # tile's slot total <= cap.  The Python loop runs num_tiles times.
+        starts, ends = [], []
+        b = 0
+        while prefix[b] < prefix[-1]:
+            # first source >= b with any slots (skip inactive ranges)
+            a = int(np.searchsorted(prefix, prefix[b], side="right")) - 1
+            a = max(a, b)
+            nb = int(np.searchsorted(prefix, prefix[a] + cap, side="right")) - 1
+            if nb <= a:  # defensive; cannot happen since per-source work <= cap
+                nb = a + 1
+            starts.append(a)
+            ends.append(nb)
+            b = nb
+        return starts, ends
+
     row_edge_start = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(src, minlength=n), out=row_edge_start[1:])
 
-    starts, ends = [], []
-    b = 0
-    while row_prefix[b] < total_slots:
-        # first source >= b with any slots (skip inactive ranges)
-        a = int(np.searchsorted(row_prefix, row_prefix[b], side="right")) - 1
-        a = max(a, b)
-        nb = int(np.searchsorted(row_prefix, row_prefix[a] + cap, side="right")) - 1
-        if nb <= a:  # defensive; cannot happen since per-source work <= cap
-            nb = a + 1
-        starts.append(a)
-        ends.append(nb)
-        b = nb
-    num_tiles = max(len(starts), 1)
-    t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
+    slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
+    tile_slot_start = None
+    if packed:
+        # --- host-side slot expansion (one np.repeat pass over the stream) ----
+        work32 = work.astype(np.int64)
+        eprefix = np.cumsum(work32) - work32
+        eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
+        s_iota = np.arange(total_slots, dtype=np.int64)
+        j = s_iota - eprefix[eloc]
+        adr = offsets64[mid][eloc] + skip[eloc] + j
+        wv = indices[adr]
+        slot_src = np.repeat(src, work32)
+        # DEAD-SLOT REMOVAL: the reference zeroes self + first-order neighbors
+        # AFTER accumulating (predict.hxx:306-307); since the plan knows the
+        # adjacency, those slots can be dropped BEFORE the device ever sees
+        # them — (u, w) runs where w ∈ N(u) or w == u can never score, and with
+        # them gone the killer slots have nothing to kill and are dropped too
+        # (~25-30% of the stream on RMAT; the packed upay flag is then
+        # constantly "real").  The edge-stream path keeps killers (it cannot
+        # drop non-contiguous slots).
+        kq = slot_src * n + wv
+        pos = np.searchsorted(gkeys, kq)
+        is_edge = np.zeros(kq.shape[0], dtype=bool)
+        if gkeys.size:
+            inb = pos < gkeys.size
+            is_edge[inb] = gkeys[pos[inb]] == kq[inb]
+        keep_s = np.repeat(real, work32) & ~is_edge & (wv != slot_src)
+        wv = wv[keep_s]
+        slot_src = slot_src[keep_s]
+        slot_mid_deg = deg[np.repeat(mid, work32)[keep_s]]
+        kept = int(wv.shape[0])
+        cnt_u = np.bincount(slot_src, minlength=n).astype(np.int64)
+        prefix_k = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt_u, out=prefix_k[1:])
+        starts, ends = partition(prefix_k)
+        total_slots = kept
+        s_pad = _next_pow2(kept + cap)
+        slot_w = np.zeros(s_pad, dtype=np.int32)
+        slot_u = np.zeros(s_pad, dtype=np.int32)
+        slot_udeg = np.zeros(s_pad, dtype=np.int32)
+        slot_wdeg = np.zeros(s_pad, dtype=np.int32)
+        slot_middeg = np.zeros(s_pad, dtype=np.int32)
+        slot_w[:kept] = wv
+        slot_u[:kept] = (slot_src << 1) | 1
+        slot_udeg[:kept] = deg[slot_src]
+        slot_wdeg[:kept] = deg[wv]
+        slot_middeg[:kept] = slot_mid_deg
+        num_tiles = max(len(starts), 1)
+        t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
+        tile_slot_start = np.full(t_pad + 1, kept, dtype=np.int32)
+        if starts:
+            bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
+            tile_slot_start[: num_tiles + 1] = prefix_k[bounds]
+        else:
+            tile_slot_start[:] = 0
+    else:
+        row_prefix = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(w_u, out=row_prefix[1:])
+        starts, ends = partition(row_prefix)
+        num_tiles = max(len(starts), 1)
+        t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
+
     tile_edge_start = np.full(t_pad + 1, m1, dtype=np.int32)
     tile_src_start = np.full(t_pad + 1, max(n - 1, 0), dtype=np.int32)
     if starts:
@@ -290,42 +350,6 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     fe_work[:m1] = work
     fe_skip[:m1] = skip
     fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
-
-    slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
-    tile_slot_start = None
-    if packed and starts:
-        # --- host-side slot expansion (one np.repeat pass over the stream) ----
-        work32 = work.astype(np.int64)
-        eprefix = np.cumsum(work32) - work32
-        eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
-        s_iota = np.arange(total_slots, dtype=np.int64)
-        j = s_iota - eprefix[eloc]
-        adr = offsets64[mid][eloc] + skip[eloc] + j
-        wv = indices[adr]
-        upay_edge = (src.astype(np.int64) << 1) | real.astype(np.int64)
-        s_pad = _next_pow2(total_slots + cap)
-        slot_w = np.zeros(s_pad, dtype=np.int32)
-        slot_u = np.zeros(s_pad, dtype=np.int32)
-        slot_udeg = np.zeros(s_pad, dtype=np.int32)
-        slot_wdeg = np.zeros(s_pad, dtype=np.int32)
-        slot_middeg = np.zeros(s_pad, dtype=np.int32)
-        slot_w[:total_slots] = wv
-        slot_u[:total_slots] = np.repeat(upay_edge, work32)
-        slot_udeg[:total_slots] = np.repeat(deg[src], work32)
-        slot_wdeg[:total_slots] = deg[wv]
-        slot_middeg[:total_slots] = np.repeat(deg[mid], work32)
-        if not upper_only:
-            # serving mode scores directed pairs w != u; self-candidates are
-            # marked DEAD by pushing their key into the pad range (spread so no
-            # sentinel mass forms)
-            dead = wv == np.repeat(src, work32)
-            if dead.any():
-                di = np.nonzero(dead)[0]
-                slot_w[di] = (1 << w_bits) + (di & 1023)
-        tile_slot_start = np.full(t_pad + 1, total_slots, dtype=np.int32)
-        tile_slot_start[: num_tiles + 1] = row_prefix[bounds]
-    elif packed:
-        packed = False
 
     return TilePlan(
         fe_src=fe_src,

@@ -44,14 +44,21 @@ def sync(result: T) -> T:
 
 
 def measure_duration(fn: Callable[[], T], repeat: int = 1, warmup: bool = True) -> Tuple[float, T]:
-    """Run ``fn`` ``repeat`` times; return (average milliseconds, last result)."""
+    """Run ``fn`` ``repeat`` times; return (average milliseconds, last result).
+
+    The sync happens ONCE after the loop: dispatches queue sequentially on the
+    device, so the final fetch bounds all ``repeat`` executions while paying the
+    relay round-trip (~30 ms here) once instead of per repeat — the reference's
+    CPU loop is synchronous and has no such cost (`_utility.hxx:113-119`).
+    """
     result = None
     if warmup:
         result = sync(fn())
     t0 = time.perf_counter()
     for _ in range(max(repeat, 1)):
-        result = sync(fn())
-    t1 = time.perf_counter()
+        result = fn()
+    result = sync(result)  # device programs run in dispatch order; the last
+    t1 = time.perf_counter()  # completing bounds them all
     return (t1 - t0) * 1e3 / max(repeat, 1), result
 
 
