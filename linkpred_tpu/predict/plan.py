@@ -8,10 +8,13 @@ shapes, so we *precompute* a balanced schedule on the host:
    passes the LHub hub mask ``deg(mid) <= min_degree1`` (`predict.hxx:301`) and has
    work to do (``deg(mid) > 0``).  Each such edge expands into ``deg(mid)`` candidate
    slots — the innermost loop of `predict.hxx:154-179`.
-2. Append one *pseudo edge* (u → u) per active source.  Its slots enumerate N(u)
-   flagged as *killers*; killers sort ahead of real slots inside a candidate run, so
-   any (u, w) run led by a killer is dead — the sort-native equivalent of the
-   reference's "zero out self + 1-hop" pass (`predict.hxx:306-307`).
+2. Handle the reference's "zero out self + 1-hop" pass (`predict.hxx:306-307`):
+   the packed path DROPS dead slots outright (candidates w ∈ N(u) ∪ {u} can
+   never score; one vectorized membership searchsorted finds them, and with
+   them gone no killers are needed); the edge-stream path appends one *killer
+   pseudo edge* (u → u) per active source whose slots enumerate N(u) and sort
+   ahead of real slots inside their (w, u) run, so any run led by a killer is
+   dead.
 3. Partition sources into tiles of total slot count <= ``cap``, aligned to source
    boundaries so every (u, w) pair reduces inside exactly one tile (exact counts —
    the analog of per-thread-private scratch).
@@ -26,9 +29,9 @@ shapes, so we *precompute* a balanced schedule on the host:
   and the degree triplet (``slot_udeg``/``slot_wdeg``/``slot_middeg``) that the
   scoring formulas need.  The device does dynamic-slice window reads, one
   STABLE single-key sort of w with u/degrees as payloads, and one max-scan —
-  stability + the killers-first stream order keep each (w, u) group contiguous
-  with its killer at the head, so no source-span bound exists and tiles fill to
-  ``cap`` at any n <= 2^30.  ZERO full-table gathers (measured: in-scan gathers
+  stability keeps each (w, u) group contiguous (dead slots were dropped at plan
+  time), so no source-span bound exists and tiles fill to ``cap`` at any
+  n <= 2^30.  ZERO full-table gathers (measured: in-scan gathers
   cost 10-31 ms per 2^20 lanes; narrow stable keyed sorts are 2x faster than
   wide packed keys).  AA/RA weights are computed elementwise from
   ``slot_middeg``.  Used when the slot count fits ``slot_budget``.
@@ -63,6 +66,13 @@ SLOT_BUDGET = 1 << 28
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _pad_tiles(t: int) -> int:
+    """Tile-count padding: multiple of 4 (not pow2 — the deferred selection
+    sorts t_pad * cap lanes, and pow2 padding wasted up to ~30% of it; a
+    4-granular count still bounds jit variants across experiment batches)."""
+    return max(4, (t + 3) & ~3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,7 +324,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         slot_wdeg[:kept] = deg[wv]
         slot_middeg[:kept] = slot_mid_deg
         num_tiles = max(len(starts), 1)
-        t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
+        t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles
         tile_slot_start = np.full(t_pad + 1, kept, dtype=np.int32)
         if starts:
             bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
@@ -326,7 +336,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         np.cumsum(w_u, out=row_prefix[1:])
         starts, ends = partition(row_prefix)
         num_tiles = max(len(starts), 1)
-        t_pad = _next_pow2(num_tiles) if pad_tiles_pow2 else num_tiles
+        t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles
 
     tile_edge_start = np.full(t_pad + 1, m1, dtype=np.int32)
     tile_src_start = np.full(t_pad + 1, max(n - 1, 0), dtype=np.int32)
