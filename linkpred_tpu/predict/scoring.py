@@ -290,6 +290,14 @@ def _desc_score_key(x):
     return ~asc
 
 
+def _desc_key_score(key):
+    """Inverse of :func:`_desc_score_key` (recovers the float scores from the
+    sorted keys — cheaper than gathering the score array at the top-k lanes)."""
+    asc = ~key
+    u = jnp.where(asc >> 31 == 1, asc ^ jnp.uint32(0x80000000), ~asc)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
 def scan_tiles(
     stream_fn, tile_start, tile_end, k: int,
     num_metrics: int, cap: int,
@@ -333,10 +341,10 @@ def scan_tiles(
     out_s, out_u, out_v = [], [], []
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
-        _, idx = jax.lax.sort((_desc_score_key(flat), iota), num_keys=1,
-                              is_stable=False)
+        skey, idx = jax.lax.sort((_desc_score_key(flat), iota), num_keys=1,
+                                 is_stable=False)
         top = idx[:kk]
-        out_s.append(flat[top])
+        out_s.append(_desc_key_score(skey[:kk]))
         out_u.append(us[top])
         out_v.append(vs[top])
     return TopK(jnp.stack(out_s), jnp.stack(out_u), jnp.stack(out_v))
