@@ -341,7 +341,16 @@ def scan_tiles(
     out_s, out_u, out_v = [], [], []
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
-        skey, idx = jax.lax.sort((_desc_score_key(flat), iota), num_keys=1,
+        key = _desc_score_key(flat)
+        # Spread the invalid lanes' keys by lane index: most lanes are -inf
+        # (non-run-end slots + ghost tiles) and a constant duplicate mass
+        # degrades XLA's sort badly (measured 4.6 vs 2.5 ms per 2^20 here).
+        # key(-inf) = 0xFF800000 strictly exceeds every finite score's key, so
+        # OR-ing low bits keeps invalid lanes after all real candidates.
+        key = jnp.where(jnp.isneginf(flat),
+                        key | (iota & jnp.int32(0xFFFFF)).astype(jnp.uint32),
+                        key)
+        skey, idx = jax.lax.sort((key, iota), num_keys=1,
                                  is_stable=False)
         top = idx[:kk]
         out_s.append(_desc_key_score(skey[:kk]))
