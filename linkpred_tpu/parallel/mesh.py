@@ -74,7 +74,10 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
 
     host_stream = (plan.slot_w, plan.slot_u, plan.slot_udeg,
                    plan.slot_wdeg, plan.slot_middeg)
-    stacked = [np.zeros((d_count, l_pad), dtype=a.dtype) for a in host_stream]
+    # Dummy entries (e.g. the 1-element slot_wdeg when the degree pair is
+    # pre-packed) stay dummy per device — the packed kernel never reads them.
+    stacked = [np.zeros((d_count, l_pad if a.shape[0] > 1 else 1), dtype=a.dtype)
+               for a in host_stream]
     tile_s = np.zeros((d_count, t_loc), dtype=np.int32)
     tile_e = np.zeros((d_count, t_loc), dtype=np.int32)
     for d in range(d_count):
@@ -84,6 +87,8 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         s0 = int(starts[lo])
         span = int(ends[hi - 1]) - s0
         for a, out in zip(host_stream, stacked):
+            if a.shape[0] <= 1:
+                continue
             out[d, : min(span + plan.cap, a.shape[0] - s0)] = \
                 a[s0 : s0 + span + plan.cap][: l_pad]
         nt = hi - lo

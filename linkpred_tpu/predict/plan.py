@@ -102,9 +102,12 @@ class TilePlan:
     # (measured: in-scan gathers cost 10-31 ms per 2^20 lanes; dynamic-slice
     # window reads are ~free):
     slot_w: Optional[np.ndarray] = None      # int32[S_pad] candidate w (the key)
-    slot_u: Optional[np.ndarray] = None      # int32[S_pad] src<<1 | real_flag
-    slot_udeg: Optional[np.ndarray] = None   # int32[S_pad] deg(u)
-    slot_wdeg: Optional[np.ndarray] = None   # int32[S_pad] deg(w)
+    slot_u: Optional[np.ndarray] = None      # int32[S_pad] bare source id (dead
+    #                        slots are dropped at plan time -> no flag bit)
+    slot_udeg: Optional[np.ndarray] = None   # int32[S_pad] deg(u); when deg16,
+    #                        the packed pair (deg(u) << 16 | deg(w))
+    slot_wdeg: Optional[np.ndarray] = None   # int32[S_pad] deg(w); 1-elem dummy
+    #                        when deg16 (pair pre-packed into slot_udeg)
     slot_middeg: Optional[np.ndarray] = None  # int32[S_pad] deg(mid) (AA/RA wts)
     tile_slot_start: Optional[np.ndarray] = None  # int32[T_pad + 1]
     # Memoized device copies (mutable contents of a frozen dataclass — not part
@@ -316,12 +319,24 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
         slot_w = np.zeros(s_pad, dtype=np.int32)
         slot_u = np.zeros(s_pad, dtype=np.int32)
         slot_udeg = np.zeros(s_pad, dtype=np.int32)
-        slot_wdeg = np.zeros(s_pad, dtype=np.int32)
         slot_middeg = np.zeros(s_pad, dtype=np.int32)
         slot_w[:kept] = wv
-        slot_u[:kept] = (slot_src << 1) | 1
-        slot_udeg[:kept] = deg[slot_src]
-        slot_wdeg[:kept] = deg[wv]
+        # Bare source id: dead slots are gone, so the packed kernel runs with
+        # killers=False and needs no real/killer flag bit.
+        slot_u[:kept] = slot_src
+        if deg16:
+            # Pre-pack the degree pair (udeg << 16 | wdeg) on the host: one
+            # fewer stream array (134 MB at 2^25 slots) and no pack op in the
+            # kernel.  uint32 view keeps udeg >= 2^15 from tripping int32
+            # overflow; the kernel unpacks with a mask after the shift.
+            pair = (deg[slot_src].astype(np.uint32) << np.uint32(16)) \
+                | deg[wv].astype(np.uint32)
+            slot_udeg[:kept] = pair.view(np.int32)
+            slot_wdeg = np.zeros(1, dtype=np.int32)  # unused dummy
+        else:
+            slot_wdeg = np.zeros(s_pad, dtype=np.int32)
+            slot_udeg[:kept] = deg[slot_src]
+            slot_wdeg[:kept] = deg[wv]
         slot_middeg[:kept] = slot_mid_deg
         num_tiles = max(len(starts), 1)
         t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles

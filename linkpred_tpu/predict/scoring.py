@@ -81,7 +81,8 @@ def _pad_key(iota, w_bits):
 
 def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
                        *, w_bits: int, n: int, maxf2: int,
-                       min_score, deg16: bool = False):
+                       min_score, deg16: bool = False, killers: bool = True,
+                       predpacked: bool = False):
     """Shared reduce: STABLE single-key sort of the candidate id w (payloads:
     ``upay`` = src << 1 | real_flag, degrees, AA/RA weights) → run boundaries on
     (w, src) → count-by-run-length with killer-flag liveness → scores.
@@ -92,14 +93,18 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     Narrow single keys sort 2x faster than the wide packed (u, w, flag) key
     this replaces, stability is free (measured), and no source-span bound
     exists — tiles fill to cap at any n <= 2^30.
-    ``deg16`` packs the degree pair into one int32 payload (fewer operands).
+    ``deg16`` packs the degree pair into one int32 payload (fewer operands);
+    ``predpacked`` means the plan already packed it (``udeg`` holds the pair,
+    ``wdeg`` is unused).  ``killers=False`` (packed slot stream): dead slots
+    were dropped at plan time, so ``upay`` is the bare source id and the
+    liveness flag machinery drops out of the kernel.
     """
     i32 = jnp.int32
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
 
     if deg16:
-        dpack = (udeg << 16) | wdeg
+        dpack = udeg if predpacked else ((udeg << 16) | wdeg)
         key, upay, dpack, *wts = jax.lax.sort(
             (key, upay, dpack, *wts), num_keys=1, is_stable=True)
         # Mask after the shift: for udeg >= 2^15 the pack sets the int32 sign
@@ -111,16 +116,20 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
         key, upay, udeg, wdeg, *wts = jax.lax.sort(
             (key, upay, udeg, wdeg, *wts), num_keys=1, is_stable=True)
 
-    src = upay >> 1
+    src = upay if not killers else (upay >> 1)
     neq = (key[1:] != key[:-1]) | (src[1:] != src[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    # One max-scan carries both the run-start position and the first slot's
-    # real/killer flag.
-    flag = (upay & 1).astype(i32)
-    m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
-    start = m >> 1
-    alive = (m & 1) == 1
+    if killers:
+        # One max-scan carries both the run-start position and the first
+        # slot's real/killer flag.
+        flag = (upay & 1).astype(i32)
+        m = cummax(jnp.where(is_start, (iota << 1) | flag, 0))
+        start = m >> 1
+        alive = (m & 1) == 1
+    else:
+        start = cummax(jnp.where(is_start, iota, 0))
+        alive = jnp.ones((cap,), bool)
     cnt_tot = iota - start + 1                    # run length == Nuv when alive
 
     wt_tots = {}
@@ -146,9 +155,14 @@ def tile_candidates_packed(
     deg16: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
-    every per-slot quantity (candidate w, source payload, the three degrees) is
-    a dynamic-slice window read; everything rides the stable w-key sort as
+    every per-slot quantity (candidate w, source id, the degrees) is a
+    dynamic-slice window read; everything rides the stable w-key sort as
     payloads; AA/RA weights are elementwise functions of deg(mid).
+
+    Dead slots (self/first-order candidates) were dropped at plan time, so the
+    stream carries bare source ids and no killer machinery runs here
+    (``killers=False``); with ``deg16`` the degree pair is also pre-packed into
+    ``slot_udeg`` (``slot_wdeg`` is a dummy).
 
     One expansion + one sort serves every metric in ``metrics`` (the reference
     runs its 9 metrics as separate full passes, `main.cxx:212-220`; here the
@@ -161,10 +175,10 @@ def tile_candidates_packed(
     def window(a):
         return jax.lax.dynamic_slice(a, (t_start,), (cap,))
 
-    upay = window(slot_u)
+    src = window(slot_u)
     w = window(slot_w)
     udeg = window(slot_udeg)
-    wdeg = window(slot_wdeg)
+    wdeg = udeg if deg16 else window(slot_wdeg)
     lanes = iota < (t_end - t_start)
     key = jnp.where(lanes, w, _pad_key(iota, w_bits))
 
@@ -172,12 +186,12 @@ def tile_candidates_packed(
     wts = []
     if weighted:
         middeg = window(slot_middeg)
-        real = lanes & ((upay & 1) == 1)
-        wts = [jnp.where(real, m.weight_from_degree(middeg), jnp.float32(0.0))
+        wts = [jnp.where(lanes, m.weight_from_degree(middeg), jnp.float32(0.0))
                for m in weighted]
-    return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
+    return _keyed_sort_reduce(key, src, udeg, wdeg, wts, weighted, metrics,
                               w_bits=w_bits, n=n,
-                              maxf2=maxf2, min_score=min_score, deg16=deg16)
+                              maxf2=maxf2, min_score=min_score, deg16=deg16,
+                              killers=False, predpacked=deg16)
 
 
 def tile_candidates(
