@@ -41,6 +41,30 @@ def test_deg16_high_degree_unpack():
     np.testing.assert_allclose(got[(H, A)], 10.0 / (40000 + 10 - 10), rtol=1e-5)
 
 
+def test_deg_above_16bit_disables_deg16():
+    # Degrees >= 2^16 cannot ride the packed (du << 16 | dw) payload; the plan
+    # must fall back to the 4-operand sort (the RMAT-20 regime) and the scores
+    # must stay exact.  Same topology as the deg16 test, scaled past 2^16.
+    n_leaves = 70000
+    H, A = 0, 1
+    leaves = np.arange(2, 2 + n_leaves)
+    src = np.concatenate([np.full(n_leaves, H), leaves,
+                          np.full(10, A), leaves[:10]])
+    dst = np.concatenate([leaves, np.full(n_leaves, H),
+                          leaves[:10], np.full(10, A)])
+    g = from_edges(src, dst)
+    plan = build_plan(g, 64, cap=1 << 17)
+    assert not plan.deg16, "deg(H) >= 2^16 must disable the deg16 pack"
+    assert plan.packed
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=64,
+                        options=PredictOptions(max_edges=1000), plan=plan)
+    got = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res.u, res.v, res.score)}
+    # (H, A) share the 10 leaves: Nuv=10, deg(H)=70000, deg(A)=10.
+    assert (H, A) in got
+    np.testing.assert_allclose(got[(H, A)], 10.0 / (70000 + 10 - 10), rtol=1e-5)
+
+
 def test_plancache_pins_keyed_arrays(rng):
     # id()-keyed entries must hold strong refs to the keyed arrays, else a GC'd
     # graph's id can be reused by a different graph and hit a stale plan.
