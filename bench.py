@@ -12,8 +12,8 @@ BENCH_DEG (64), BENCH_REPEAT (5).
 Scale default: RMAT-19.  Larger R-MATs skew harder, so the LHub hub-skip
 removes more of the expansion — exactly the regime the reference's sk-2005
 headline measures (web-crawl skew, best-F1 threshold).  Full scale sensitivity
-is tabled in STATUS.md (measured r2: s18 50.8M, s19 123.5M, s20 74.2M edges/s);
-set BENCH_SCALE to reproduce any row.
+is tabled in STATUS.md (measured r2, adaptive cap: s18 50.8M, s19 134.5M,
+s20 74.2M edges/s); set BENCH_SCALE to reproduce any row.
 """
 from __future__ import annotations
 
@@ -38,7 +38,9 @@ def _run() -> int:
     # repeat=5 matches the reference's REPEAT_METHOD=5 (`main.cxx:26-33`) and
     # amortizes the one-time relay sync round-trip (~30 ms) further.
     repeat = int(os.environ.get("BENCH_REPEAT", "5"))
-    cap = int(os.environ.get("BENCH_CAP", str(1 << 20)))
+    # cap: unset/0 => adaptive (plan targets ~32 full tiles, the measured v5e
+    # sweet spot: RMAT-19 123.5M @2^20 -> 134.5M @2^21 edges/s; see plan.py)
+    cap = int(os.environ.get("BENCH_CAP", "0")) or None
     baseline_edges_per_s = 38.1e6  # README.md:9 (LHub, sk-2005, 32 threads)
 
     import numpy as np

@@ -89,7 +89,7 @@ class PlanCache:
         self._cache[key] = (g.offsets, g.indices, value)
         return value
 
-    def get(self, g: CSRGraph, min_degree1: int, cap: int,
+    def get(self, g: CSRGraph, min_degree1: int, cap: Optional[int],
             sources=None) -> TilePlan:
         skey = None if sources is None else hash(np.asarray(sources).tobytes())
         key = (id(g.offsets), id(g.indices), g.n, g.m, min_degree1, cap, skey)
@@ -113,7 +113,7 @@ def predict_links_multi(
     min_degree1: int = 4,
     max_factor2: int = 0,
     options: Optional[PredictOptions] = None,
-    cap: int = 1 << 20,
+    cap: Optional[int] = None,
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
@@ -268,7 +268,7 @@ def predict_links(
     min_degree1: int = 4,
     max_factor2: int = 0,
     options: Optional[PredictOptions] = None,
-    cap: int = 1 << 20,
+    cap: Optional[int] = None,
     plan: Optional[TilePlan] = None,
     plan_cache: Optional[PlanCache] = None,
     mesh=None,

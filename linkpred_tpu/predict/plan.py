@@ -63,6 +63,17 @@ KILL = -(1 << 30)
 # device for the three int32 arrays. Beyond this, fall back to the edge stream.
 SLOT_BUDGET = 1 << 28
 
+# Adaptive cap (cap=None): target tile count and cap bounds.  Measured on v5e
+# (RMAT-18/19/20 bench cap sweeps, edges/s at caps 2^20/2^21/2^22):
+#   s18: 50.8 / 47.9 / 40.7      s19: 123.5 / 134.5 / 134.2
+#   s20: 74.2 / 73.4 / 71.4
+# The optimum sits at ~32 full tiles (s18@2^20, s19@2^21) — more tiles pay
+# per-tile fixed costs (scan step, cummax tail), fewer pay the sort's
+# superlinearity — and caps beyond 2^21 never win, so the ceiling stays there.
+AUTO_CAP_TILES = 32
+AUTO_CAP_MIN = 1 << 16
+AUTO_CAP_MAX = 1 << 21
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
@@ -147,7 +158,7 @@ class TilePlan:
         return d["stream"], d["tile_start"], d["tile_src_start"]
 
 
-def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
+def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
                pad_tiles_pow2: bool = True,
                slot_budget: int = SLOT_BUDGET,
                sources: Optional[np.ndarray] = None,
@@ -157,6 +168,11 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     source is in the subset (serving mode: "top links for these vertices").
     Restricted plans score DIRECTED candidates (s, w) for every second-order w,
     not just w > s (``upper_only=False``).
+
+    ``cap=None`` picks the tile capacity adaptively: the next power of two that
+    yields ~``AUTO_CAP_TILES`` tiles, clamped to [2^16, 2^22] (measured sweet
+    spot on v5e — see the module constants).  Pass an explicit cap to pin jit
+    variants across runs (the harness does, for sweep-wide shape stability).
 
     ``_keep_src``/``_allow_huge`` are internal: the huge-hub sub-plan restricts
     to the hub sources WITHOUT flipping to directed-candidate semantics."""
@@ -220,6 +236,14 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: int = 1 << 20,
     order = np.lexsort((mid, real, src))
     src, mid, real, skip = src[order], mid[order], real[order], skip[order]
     work = deg[mid] - skip
+
+    if cap is None:
+        # Adaptive: ~AUTO_CAP_TILES full tiles over the (pre-dead-slot-removal)
+        # expansion estimate; small graphs land on small caps so tiny inputs
+        # never pay a 2^22-lane sort.
+        est = int(work.sum())
+        cap = int(min(max(_next_pow2(-(-est // AUTO_CAP_TILES)),
+                          AUTO_CAP_MIN), AUTO_CAP_MAX))
 
     # Per-source slot counts; sources too big for one tile go to the dense path.
     w_u = np.bincount(src, weights=work.astype(np.float64), minlength=n).astype(np.int64)

@@ -65,6 +65,27 @@ def test_deg_above_16bit_disables_deg16():
     np.testing.assert_allclose(got[(H, A)], 10.0 / (70000 + 10 - 10), rtol=1e-5)
 
 
+def test_auto_cap_scales_with_expansion(rng):
+    # cap=None: tiny graphs clamp to AUTO_CAP_MIN (no 2^22-lane sorts for toy
+    # inputs); the chosen cap targets ~AUTO_CAP_TILES tiles and is identical to
+    # an explicitly-passed cap of the same value (pure default resolution).
+    from linkpred_tpu.predict.plan import AUTO_CAP_MIN, AUTO_CAP_TILES
+
+    g = random_graph(rng, n=200, avg_deg=5)
+    p = build_plan(g, 4)
+    assert p.cap == AUTO_CAP_MIN
+    p2 = build_plan(g, 4, cap=p.cap)
+    np.testing.assert_array_equal(p.slot_w, p2.slot_w)
+    assert p.num_tiles == p2.num_tiles
+    # a graph whose expansion exceeds AUTO_CAP_TILES * AUTO_CAP_MIN gets a
+    # bigger cap: ~64 sources sharing ~2^16 mids-worth of expansion
+    big = random_graph(rng, n=3000, avg_deg=40)
+    pb = build_plan(big, 0)  # IHub: scan everything
+    assert pb.cap > AUTO_CAP_MIN or pb.total_slots <= AUTO_CAP_TILES * AUTO_CAP_MIN
+    # greedy source-aligned packing can fragment, but stays within 2x target
+    assert pb.num_tiles <= 2 * AUTO_CAP_TILES
+
+
 def test_plancache_pins_keyed_arrays(rng):
     # id()-keyed entries must hold strong refs to the keyed arrays, else a GC'd
     # graph's id can be reused by a different graph and hit a stale plan.
