@@ -67,7 +67,9 @@ class ExperimentConfig:
     degrees: Sequence[int] = ALL_DEGREES
     num_threads: int = 0          # label only; 0 => jax.device_count()
     seed: Optional[int] = 0       # None => OS entropy (reference behavior)
-    cap: int = 1 << 20            # scoring tile slot budget
+    cap: Optional[int] = 1 << 20  # tile slot budget; None = adaptive
+    #                               (fixed default keeps jit shapes stable
+    #                               across sweep batches on slow-compile hosts)
     min_score: float = 0.0
     fused_metrics: bool = True    # one expansion+sort pass scores all metrics
     jsonl: bool = False           # emit JSON-lines instead of the printf grammar

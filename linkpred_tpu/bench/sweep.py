@@ -129,7 +129,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--deletions-begin", type=float, default=1e-4)
     p.add_argument("--deletions-end", type=float, default=1e-1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--cap", type=int, default=1 << 20)
+    p.add_argument("--cap", type=int, default=1 << 20)  # 0 = adaptive
     p.add_argument("--resume", action="store_true",
                    help="skip graphs already present in the sweep log")
     args = p.parse_args(argv)
@@ -142,7 +142,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     cfg = ExperimentConfig(
         repeat_batch=args.repeat_batch, repeat_method=args.repeat_method,
         deletions_begin=args.deletions_begin, deletions_end=args.deletions_end,
-        seed=args.seed, cap=args.cap,
+        seed=args.seed, cap=args.cap or None,
         **({"metrics": tuple(args.metrics.split(","))} if args.metrics else {}),
         **({"degrees": tuple(int(d) for d in args.degrees.split(","))}
            if args.degrees else {}),

@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None,
                    help="RNG seed (default: OS entropy, like the reference)")
     p.add_argument("--cap", type=int, default=1 << 20,
-                   help="scoring tile slot budget")
+                   help="scoring tile slot budget; 0 = adaptive per graph "
+                        "(default stays fixed so sweep batches share jit shapes)")
     p.add_argument("--min-score", type=float, default=0.0)
     p.add_argument("--jsonl", action="store_true",
                    help="emit JSON-lines result rows instead of the printf grammar")
@@ -95,7 +96,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         degrees=tuple(int(d) for d in args.degrees.split(",") if d),
         num_threads=num_threads,
         seed=args.seed,
-        cap=args.cap,
+        cap=args.cap or None,
         min_score=args.min_score,
         jsonl=args.jsonl,
         fused_metrics=not args.unfused,
