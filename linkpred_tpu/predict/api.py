@@ -18,7 +18,7 @@ from ..graph import CSRGraph
 from ..utils.timing import measure_duration
 from .metrics import METRICS, get_metric
 from .plan import TilePlan, build_plan
-from .scoring import score_tiles
+from .scoring import CHUNK_TILES, CHUNK_TILES_PACKED, score_tiles_chunked
 
 __all__ = ["PredictOptions", "PredictResult", "predict_links",
            "predict_links_multi", "top_per_source", "PlanCache"]
@@ -201,12 +201,13 @@ def predict_links_multi(
                 mesh=mesh, axis=axis, stream_sharded=stream_sharded,
             )
         else:
-            top = score_tiles(
+            top = score_tiles_chunked(
                 gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
                 tile_start, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
                 upper_only=plan.upper_only,
+                chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES,
             )
         if hp is None:
             return (top,)
@@ -214,12 +215,13 @@ def predict_links_multi(
         # keeps every source in the parallel loop, predict.hxx:287-288; the
         # dense host scorer survives only as a test oracle).
         h_stream, h_tile_start, h_tss = hp.device_stream()
-        top_h = score_tiles(
+        top_h = score_tiles_chunked(
             gd.offsets, gd.indices, gd.degrees, wt_tables, h_stream,
             h_tile_start, min_score,
             metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
             w_bits=hp.w_bits if hp.keyed else 0, packed=hp.packed,
             deg16=hp.deg16, upper_only=hp.upper_only,
+            chunk=CHUNK_TILES_PACKED if hp.packed else CHUNK_TILES,
         )
         return (top, top_h)
 

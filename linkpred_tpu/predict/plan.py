@@ -263,9 +263,12 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             # large enough to hold the biggest hub's expansion in one tile —
             # the reference keeps every source in its parallel loop
             # (predict.hxx:287-288); here the hubs get their own jit variant.
+            # pad_tiles_pow2=False: hub sub-plans have 1-2 giant-cap tiles and
+            # are per-graph one-offs — padding to 4 tiles would make the
+            # deferred selection sort up to 3 ghost tiles of cap lanes each.
             huge_plan = build_plan(
                 g, min_degree1, cap=_next_pow2(w_u_max),
-                pad_tiles_pow2=pad_tiles_pow2, slot_budget=slot_budget,
+                pad_tiles_pow2=False, slot_budget=slot_budget,
                 sources=sources, _keep_src=huge_src, _allow_huge=False)
 
     m1 = src.shape[0]

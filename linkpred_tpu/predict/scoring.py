@@ -49,7 +49,8 @@ from ..ops.segment import cummax, run_boundaries, segment_run_totals
 from ..ops.topk import TopK
 from .metrics import METRICS, MetricSpec
 
-__all__ = ["score_tiles", "tile_candidates", "score_huge_sources_host"]
+__all__ = ["score_tiles", "score_tiles_chunked", "tile_candidates",
+           "score_huge_sources_host"]
 
 _SENTINEL = np.int32(2**31 - 1)
 
@@ -312,42 +313,21 @@ def _desc_key_score(key):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
-def scan_tiles(
-    stream_fn, tile_start, tile_end, k: int,
-    num_metrics: int, cap: int,
-) -> TopK:
-    """Run ``stream_fn(t_start, t_end) -> (scores [M, cap], u, v)``
-    over all tiles under `lax.scan`, then select the global top-k.
+# Lane bound for one deferred-selection segment: raw (scores, u, v) tile output
+# is buffered in HBM up to this many lanes (2^27 lanes = 1.6 GB at one metric)
+# before a selection pass runs.  Plans whose t_pad * cap fits a single segment
+# (every LHub bench config) take the one-pass path unchanged; bigger scans
+# (IHub-scale: hundreds of tiles) select hierarchically — without this, a
+# 552M-slot IHub scan buffered 6.6 GB + sort workspace and took the device down
+# with an HBM OOM.
+SEG_LANES = 1 << 27
 
-    The per-thread heap + serial k-way merge of the reference
-    (`predict.hxx:309-337,440-459`) becomes a DEFERRED selection: every tile
-    streams its raw (scores, u, v) to HBM (bandwidth-trivial next to the tile
-    sort), and ONE single-key sort per metric over all T*cap lanes picks the
-    winners.  An in-scan sort-merged carry was 2.5x the cost of the tile key
-    sort itself (3-operand float merge of cap+k per tile, measured via trace);
-    the deferred global sort is 2-operand (uint32 score key + lane index) and
-    runs once.  Empty tiles (schedule padding) skip compute via `lax.cond`
-    (set LINKPRED_TILE_COND=0 to disable, for profiling cond effects).
-    """
+
+def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
+    """One deferred-selection pass: descending single-key sort per metric over
+    the flattened lanes; returns [M, k]."""
     i32 = jnp.int32
-
-    def empty(*_):
-        return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
-                jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
-
-    def body(carry, ts):
-        t_start, t_end = ts
-        if _USE_COND:
-            out = jax.lax.cond(t_start < t_end,
-                               lambda: stream_fn(t_start, t_end),
-                               empty)
-        else:
-            out = stream_fn(t_start, t_end)
-        return carry, out
-
-    _, (scores, us, vs) = jax.lax.scan(
-        body, 0, (tile_start, tile_end))
-    total = scores.shape[0] * cap
+    total = scores.shape[0] * scores.shape[-1]
     us = us.reshape(total)
     vs = vs.reshape(total)
     kk = min(k, total)
@@ -371,6 +351,75 @@ def scan_tiles(
         out_u.append(us[top])
         out_v.append(vs[top])
     return TopK(jnp.stack(out_s), jnp.stack(out_u), jnp.stack(out_v))
+
+
+def scan_tiles(
+    stream_fn, tile_start, tile_end, k: int,
+    num_metrics: int, cap: int,
+) -> TopK:
+    """Run ``stream_fn(t_start, t_end) -> (scores [M, cap], u, v)``
+    over all tiles under `lax.scan`, then select the global top-k.
+
+    The per-thread heap + serial k-way merge of the reference
+    (`predict.hxx:309-337,440-459`) becomes a DEFERRED selection: every tile
+    streams its raw (scores, u, v) to HBM (bandwidth-trivial next to the tile
+    sort), and ONE single-key sort per metric over all T*cap lanes picks the
+    winners.  An in-scan sort-merged carry was 2.5x the cost of the tile key
+    sort itself (3-operand float merge of cap+k per tile, measured via trace);
+    the deferred global sort is 2-operand (uint32 score key + lane index) and
+    runs once.  Empty tiles (schedule padding) skip compute via `lax.cond`
+    (set LINKPRED_TILE_COND=0 to disable, for profiling cond effects).
+
+    Scans whose raw output exceeds ``SEG_LANES`` lanes (IHub-scale tile
+    counts) buffer and select per SEGMENT of tiles under an outer `lax.scan`,
+    then merge the per-segment winners — bounding HBM at ~1.6 GB regardless of
+    total slot count.  Exact: any global top-k candidate is inside its
+    segment's top-k.
+    """
+    i32 = jnp.int32
+    t_pad = tile_start.shape[0]
+    seg = max(1, SEG_LANES // cap)
+
+    def empty(*_):
+        return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
+                jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
+
+    def body(carry, ts):
+        t_start, t_end = ts
+        if _USE_COND:
+            out = jax.lax.cond(t_start < t_end,
+                               lambda: stream_fn(t_start, t_end),
+                               empty)
+        else:
+            out = stream_fn(t_start, t_end)
+        return carry, out
+
+    if t_pad <= seg:
+        _, (scores, us, vs) = jax.lax.scan(
+            body, 0, (tile_start, tile_end))
+        return _select_topk(scores, us, vs, k, num_metrics)
+
+    # --- hierarchical: segments of `seg` tiles, selection per segment --------
+    n_seg = -(-t_pad // seg)
+    pad = n_seg * seg - t_pad
+    # padding tiles have start == end == 0 -> cond skips them
+    ts = jnp.concatenate([tile_start, jnp.zeros((pad,), i32)]).reshape(n_seg, seg)
+    te = jnp.concatenate([tile_end, jnp.zeros((pad,), i32)]).reshape(n_seg, seg)
+    kk = min(k, seg * cap)
+
+    def seg_body(carry, bounds):
+        s_ts, s_te = bounds
+        _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te))
+        return carry, _select_topk(scores, us, vs, kk, num_metrics)
+
+    _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
+    # final merge: per metric, one selection over the S*kk segment winners
+    out = [_select_topk(tops.scores[:, i, :][:, None, :],
+                        tops.u[:, i, :], tops.v[:, i, :], k, 1)
+           for i in range(num_metrics)]
+    return TopK(jnp.concatenate([t.scores for t in out]),
+                jnp.concatenate([t.u for t in out]),
+                jnp.concatenate([t.v for t in out]))
 
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
@@ -427,6 +476,65 @@ def score_tiles(
                                 deg16, upper_only)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], k, len(metrics), cap)
+
+
+# Max tiles per device dispatch on the edge-stream path.  Edge tiles cost
+# ~300 ms each at cap 2^21 (the slot-map rebuild is gather/scatter-bound), so
+# an IHub-scale plan (300+ tiles) in ONE program runs for minutes — and the
+# relay-backed device kills programs past roughly a minute (observed:
+# UNAVAILABLE device faults on 90s+ programs; 5-20s programs fine).  Chunked
+# dispatch bounds each program to ~10s and merges chunk winners on device.
+CHUNK_TILES = 32
+# Packed tiles are ~3-7 ms, so their chunk bound is far higher; only
+# pathological plans (10k+ tiles) ever split.
+CHUNK_TILES_PACKED = 2048
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _merge_topk_stacked(stacked: TopK, k: int) -> TopK:
+    """Merge [C, M, kk] chunk winners into [M, k] (one selection per metric)."""
+    num_metrics = stacked.scores.shape[1]
+    out = [_select_topk(stacked.scores[:, i, :][:, None, :],
+                        stacked.u[:, i, :], stacked.v[:, i, :], k, 1)
+           for i in range(num_metrics)]
+    return TopK(jnp.concatenate([t.scores for t in out]),
+                jnp.concatenate([t.u for t in out]),
+                jnp.concatenate([t.v for t in out]))
+
+
+def score_tiles_chunked(
+    offsets, indices, degrees, wt_tables, stream, tile_start, min_score,
+    *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
+    packed: bool = False, deg16: bool = False, upper_only: bool = True,
+    chunk: int = CHUNK_TILES,
+) -> TopK:
+    """`score_tiles` dispatched ``chunk`` tiles at a time with a device sync
+    between dispatches (see ``CHUNK_TILES``).  Exact: every chunk keeps its
+    top-k and one final device-side selection merges them.  All chunks share
+    one jit variant (the last is padded with empty tiles)."""
+    from ..utils.timing import sync
+
+    t_pad = int(tile_start.shape[0]) - 1
+    kwargs = dict(metric_names=metric_names, cap=cap, k=k, maxf2=maxf2,
+                  w_bits=w_bits, packed=packed, deg16=deg16,
+                  upper_only=upper_only)
+    if t_pad <= chunk:
+        return score_tiles(offsets, indices, degrees, wt_tables, stream,
+                           tile_start, min_score, **kwargs)
+    tops = []
+    for c in range(0, t_pad, chunk):
+        ts = tile_start[c: c + chunk + 1]
+        if int(ts.shape[0]) < chunk + 1:  # pad: start == end => empty tiles
+            pad = chunk + 1 - int(ts.shape[0])
+            ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
+        top = score_tiles(offsets, indices, degrees, wt_tables, stream, ts,
+                          min_score, **kwargs)
+        sync(top)  # bound single-program duration (relay kills ~1min+ programs)
+        tops.append(top)
+    stacked = TopK(jnp.stack([t.scores for t in tops]),
+                   jnp.stack([t.u for t in tops]),
+                   jnp.stack([t.v for t in tops]))
+    return _merge_topk_stacked(stacked, k)
 
 
 def score_huge_sources_host(

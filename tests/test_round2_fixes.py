@@ -65,6 +65,38 @@ def test_deg_above_16bit_disables_deg16():
     np.testing.assert_allclose(got[(H, A)], 10.0 / (70000 + 10 - 10), rtol=1e-5)
 
 
+def test_segmented_selection_exact(rng, monkeypatch):
+    # IHub-scale scans buffer raw tile output per SEGMENT and select
+    # hierarchically (bounded HBM); winners must equal the one-pass selection
+    # exactly.  Shrink SEG_LANES so a toy plan crosses the segment boundary.
+    import linkpred_tpu.predict.scoring as scoring_mod
+
+    g = random_graph(rng, n=400, avg_deg=10)
+    plan = build_plan(g, 32, cap=256)
+    assert plan.num_tiles_padded > 8, "plan too small to exercise segments"
+    res_one = predict_links(g, metric="jaccard_coefficient", min_degree1=32,
+                            options=PredictOptions(max_edges=5000), plan=plan)
+    monkeypatch.setattr(scoring_mod, "SEG_LANES", 1024)  # seg = 4 tiles
+    scoring_mod.score_tiles.clear_cache()
+    try:
+        res_seg = predict_links(g, metric="jaccard_coefficient", min_degree1=32,
+                                options=PredictOptions(max_edges=5000),
+                                plan=plan)
+    finally:
+        scoring_mod.score_tiles.clear_cache()  # drop the shrunken-SEG variants
+    assert len(res_seg) == len(res_one) > 0
+    # tie-breaking at the k-th score is arbitrary (as in the reference's heap):
+    # the score multisets must match exactly, and so must every pair strictly
+    # above the cutoff score.
+    np.testing.assert_array_equal(res_seg.score, res_one.score)
+    cutoff = res_one.score[-1]
+    one = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res_one.u, res_one.v, res_one.score) if s > cutoff}
+    seg = {(int(u), int(v)): float(s)
+           for u, v, s in zip(res_seg.u, res_seg.v, res_seg.score) if s > cutoff}
+    assert one == seg and len(one) > 0
+
+
 def test_auto_cap_scales_with_expansion(rng):
     # cap=None: tiny graphs clamp to AUTO_CAP_MIN (no 2^22-lane sorts for toy
     # inputs); the chosen cap targets ~AUTO_CAP_TILES tiles and is identical to
