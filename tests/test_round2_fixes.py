@@ -97,6 +97,40 @@ def test_segmented_selection_exact(rng, monkeypatch):
     assert one == seg and len(one) > 0
 
 
+def test_chunked_dispatch_exact(rng):
+    # Edge-stream plans dispatch CHUNK_TILES tiles per device program (the
+    # relay-backed device kills minutes-long programs); chunk winners merge on
+    # device.  Tiny chunks must reproduce the single-dispatch result exactly.
+    from linkpred_tpu.predict.scoring import score_tiles_chunked
+    import linkpred_tpu.predict.api as api_mod
+
+    g = random_graph(rng, n=400, avg_deg=10)
+    plan = build_plan(g, 32, cap=256)
+    assert plan.num_tiles_padded > 8
+    res_one = predict_links(g, metric="common_neighbors", min_degree1=32,
+                            options=PredictOptions(max_edges=4000), plan=plan)
+    orig = api_mod.score_tiles_chunked
+
+    def tiny_chunks(*args, **kwargs):
+        kwargs["chunk"] = 2
+        return orig(*args, **kwargs)
+
+    api_mod.score_tiles_chunked = tiny_chunks
+    try:
+        res_chunk = predict_links(g, metric="common_neighbors", min_degree1=32,
+                                  options=PredictOptions(max_edges=4000),
+                                  plan=plan)
+    finally:
+        api_mod.score_tiles_chunked = orig
+    np.testing.assert_array_equal(res_chunk.score, res_one.score)
+    cutoff = res_one.score[-1] if len(res_one) else 0.0
+    one = {(int(u), int(v)) for u, v, s in
+           zip(res_one.u, res_one.v, res_one.score) if s > cutoff}
+    chk = {(int(u), int(v)) for u, v, s in
+           zip(res_chunk.u, res_chunk.v, res_chunk.score) if s > cutoff}
+    assert one == chk
+
+
 def test_auto_cap_scales_with_expansion(rng):
     # cap=None: tiny graphs clamp to AUTO_CAP_MIN (no 2^22-lane sorts for toy
     # inputs); the chosen cap targets ~AUTO_CAP_TILES tiles and is identical to
