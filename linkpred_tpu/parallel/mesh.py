@@ -35,7 +35,7 @@ from ..ops.topk import TopK
 from ..predict.metrics import METRICS
 
 __all__ = ["make_mesh", "pad_tiles_for_mesh", "score_tiles_sharded",
-           "shard_stream_for_mesh"]
+           "score_tiles_sharded_chunked", "shard_stream_for_mesh"]
 
 
 def _next_pow2(x: int) -> int:
@@ -176,6 +176,7 @@ def score_tiles_sharded(
                    degrees, wt_tables, stream, min_score):
         if stream_sharded:
             stream = jax.tree.map(lambda a: a[0], stream)
+        if tile_s.ndim > 1:  # [1, T_loc] shard of a device-major [D, T_loc]
             tile_s, tile_e = tile_s[0], tile_e[0]
         stream_fn = _make_stream_fn(
             offsets, indices, degrees, wt_tables, stream,
@@ -194,10 +195,14 @@ def score_tiles_sharded(
 
     rep = P()
     stream_spec = P(axis) if stream_sharded else rep
+    # Tile windows ALWAYS shard over the axis: `pad_tiles_for_mesh` lays the
+    # round-robin assignment out device-major, so P(axis) hands device d
+    # exactly its tiles (a replicated spec here would make every device scan
+    # ALL tiles — D-fold redundant work).
     fn = jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(stream_spec, stream_spec,
+        in_specs=(P(axis), P(axis),
                   rep, rep, rep,
                   jax.tree.map(lambda _: rep, wt_tables),
                   jax.tree.map(lambda _: stream_spec, stream), rep),
@@ -206,3 +211,50 @@ def score_tiles_sharded(
     )
     return fn(tile_starts, tile_ends, offsets, indices,
               degrees, wt_tables, stream, min_score)
+
+
+def score_tiles_sharded_chunked(
+    offsets, indices, degrees, wt_tables, stream, tile_starts, tile_ends,
+    min_score, *, chunk: int, k: int, **kwargs,
+) -> TopK:
+    """`score_tiles_sharded` dispatched ``chunk`` tiles PER DEVICE at a time
+    with a sync between dispatches — the sharded arm of
+    `scoring.score_tiles_chunked` (the relay-backed device kills minutes-long
+    programs; edge-stream tiles cost ~300 ms each).  Exact: chunk winners merge
+    through one final device-side selection."""
+    from ..predict.scoring import _merge_topk_stacked
+    from ..utils.timing import sync
+
+    d = kwargs["mesh"].shape[kwargs.get("axis", "workers")]
+    # per-device tile lists: flat device-major [D*T_loc] or stacked [D, T_loc]
+    if tile_starts.ndim == 1:
+        t_loc = int(tile_starts.shape[0]) // d
+        view = lambda a: a.reshape(d, t_loc)
+        flat = True
+    else:
+        t_loc = int(tile_starts.shape[1])
+        view = lambda a: a
+        flat = False
+    if t_loc <= chunk:
+        return score_tiles_sharded(offsets, indices, degrees, wt_tables,
+                                   stream, tile_starts, tile_ends, min_score,
+                                   k=k, **kwargs)
+    ts2, te2 = view(tile_starts), view(tile_ends)
+    tops = []
+    for c in range(0, t_loc, chunk):
+        sl_s, sl_e = ts2[:, c: c + chunk], te2[:, c: c + chunk]
+        if int(sl_s.shape[1]) < chunk:  # pad with empty windows (start == end)
+            pad = chunk - int(sl_s.shape[1])
+            fill_s = jnp.broadcast_to(sl_s[:, -1:], (sl_s.shape[0], pad))
+            sl_s = jnp.concatenate([sl_s, fill_s], axis=1)
+            sl_e = jnp.concatenate([sl_e, fill_s], axis=1)
+        if flat:
+            sl_s, sl_e = sl_s.reshape(-1), sl_e.reshape(-1)
+        top = score_tiles_sharded(offsets, indices, degrees, wt_tables,
+                                  stream, sl_s, sl_e, min_score, k=k, **kwargs)
+        sync(top.scores)  # bound single-program duration
+        tops.append(top)
+    stacked = TopK(jnp.stack([t.scores for t in tops]),
+                   jnp.stack([t.u for t in tops]),
+                   jnp.stack([t.v for t in tops]))
+    return _merge_topk_stacked(stacked, k)

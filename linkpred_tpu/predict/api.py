@@ -173,7 +173,8 @@ def predict_links_multi(
     stream_sharded = False
     if mesh is not None:
         from ..parallel.mesh import (
-            pad_tiles_for_mesh, score_tiles_sharded, shard_stream_for_mesh)
+            pad_tiles_for_mesh, score_tiles_sharded_chunked,
+            shard_stream_for_mesh)
         axis = mesh.axis_names[0]
         stream_sharded = plan.packed
         if stream_sharded:
@@ -190,7 +191,7 @@ def predict_links_multi(
 
     def run_scoring():
         if mesh is not None:
-            top = score_tiles_sharded(
+            top = score_tiles_sharded_chunked(
                 dummy if stream_sharded else gd.offsets,
                 dummy if stream_sharded else gd.indices,
                 gd.degrees, wt_tables, m_stream,
@@ -199,6 +200,7 @@ def predict_links_multi(
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
                 upper_only=plan.upper_only,
                 mesh=mesh, axis=axis, stream_sharded=stream_sharded,
+                chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES,
             )
         else:
             top = score_tiles_chunked(

@@ -18,8 +18,9 @@ shapes, so we *precompute* a balanced schedule on the host:
 3. Partition sources into tiles of total slot count <= ``cap``, aligned to source
    boundaries so every (u, w) pair reduces inside exactly one tile (exact counts —
    the analog of per-thread-private scratch).
-4. Sources whose slot count alone exceeds ``cap`` ("huge" hubs) are routed to a dense
-   scatter-add fallback (`linkpred_tpu.predict.scoring.score_huge_sources_host`).
+4. Sources whose slot count alone exceeds ``cap`` ("huge" hubs) run on device
+   through a hub-sized sub-plan (``huge_plan``; the dense host scorer
+   `scoring.score_huge_sources_host` survives as a test oracle).
 
 **Two device-side execution formats** (static choice per plan):
 
@@ -170,7 +171,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     not just w > s (``upper_only=False``).
 
     ``cap=None`` picks the tile capacity adaptively: the next power of two that
-    yields ~``AUTO_CAP_TILES`` tiles, clamped to [2^16, 2^22] (measured sweet
+    yields ~``AUTO_CAP_TILES`` tiles, clamped to [2^16, 2^21] (measured sweet
     spot on v5e — see the module constants).  Pass an explicit cap to pin jit
     variants across runs (the harness does, for sweep-wide shape stability).
 

@@ -353,6 +353,19 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
     return TopK(jnp.stack(out_s), jnp.stack(out_u), jnp.stack(out_v))
 
 
+def _merge_stacked(stacked: TopK, k: int) -> TopK:
+    """Merge stacked [S, M, kk] winners into [M, k]: one selection per metric
+    over the S*kk candidates.  Shared by the in-jit segmented merge, the
+    chunked dispatcher, and the sharded chunked dispatcher."""
+    num_metrics = stacked.scores.shape[1]
+    out = [_select_topk(stacked.scores[:, i, :][:, None, :],
+                        stacked.u[:, i, :], stacked.v[:, i, :], k, 1)
+           for i in range(num_metrics)]
+    return TopK(jnp.concatenate([t.scores for t in out]),
+                jnp.concatenate([t.u for t in out]),
+                jnp.concatenate([t.v for t in out]))
+
+
 def scan_tiles(
     stream_fn, tile_start, tile_end, k: int,
     num_metrics: int, cap: int,
@@ -413,13 +426,7 @@ def scan_tiles(
         return carry, _select_topk(scores, us, vs, kk, num_metrics)
 
     _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
-    # final merge: per metric, one selection over the S*kk segment winners
-    out = [_select_topk(tops.scores[:, i, :][:, None, :],
-                        tops.u[:, i, :], tops.v[:, i, :], k, 1)
-           for i in range(num_metrics)]
-    return TopK(jnp.concatenate([t.scores for t in out]),
-                jnp.concatenate([t.u for t in out]),
-                jnp.concatenate([t.v for t in out]))
+    return _merge_stacked(tops, k)
 
 
 def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
@@ -490,16 +497,7 @@ CHUNK_TILES = 32
 CHUNK_TILES_PACKED = 2048
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _merge_topk_stacked(stacked: TopK, k: int) -> TopK:
-    """Merge [C, M, kk] chunk winners into [M, k] (one selection per metric)."""
-    num_metrics = stacked.scores.shape[1]
-    out = [_select_topk(stacked.scores[:, i, :][:, None, :],
-                        stacked.u[:, i, :], stacked.v[:, i, :], k, 1)
-           for i in range(num_metrics)]
-    return TopK(jnp.concatenate([t.scores for t in out]),
-                jnp.concatenate([t.u for t in out]),
-                jnp.concatenate([t.v for t in out]))
+_merge_topk_stacked = jax.jit(_merge_stacked, static_argnames=("k",))
 
 
 def score_tiles_chunked(
@@ -529,7 +527,9 @@ def score_tiles_chunked(
             ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
         top = score_tiles(offsets, indices, degrees, wt_tables, stream, ts,
                           min_score, **kwargs)
-        sync(top)  # bound single-program duration (relay kills ~1min+ programs)
+        # one-leaf fetch bounds program duration (relay kills ~1min+ programs);
+        # syncing the whole TopK tuple would pay 3 relay round-trips
+        sync(top.scores)
         tops.append(top)
     stacked = TopK(jnp.stack([t.scores for t in tops]),
                    jnp.stack([t.u for t in tops]),

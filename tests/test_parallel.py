@@ -110,3 +110,28 @@ def test_sharded_topk_truncation(rng, mesh8):
     assert len(res) == 25
     np.testing.assert_allclose(
         np.sort(res.score)[::-1], oracle_topk_scores(pairs, 25), rtol=1e-5)
+
+
+def test_sharded_chunked_exact(rng, mesh8):
+    # The sharded arm of chunked dispatch (per-device tile chunks with a sync
+    # between programs) must reproduce the single-dispatch sharded result.
+    import linkpred_tpu.parallel.mesh as mesh_mod
+
+    g = random_graph(rng, n=300, avg_deg=8)
+    kwargs = dict(metric="common_neighbors", min_degree1=16,
+                  options=PredictOptions(max_edges=2000), cap=512)
+    base = predict_links(g, mesh=mesh8, **kwargs)
+    orig = mesh_mod.score_tiles_sharded_chunked
+
+    def tiny_chunks(*args, **kw):
+        kw["chunk"] = 1
+        return orig(*args, **kw)
+
+    mesh_mod.score_tiles_sharded_chunked = tiny_chunks
+    try:
+        # api imports the symbol from the module at call time
+        import linkpred_tpu.predict.api  # noqa: F401
+        chunked = predict_links(g, mesh=mesh8, **kwargs)
+    finally:
+        mesh_mod.score_tiles_sharded_chunked = orig
+    np.testing.assert_array_equal(np.sort(base.score), np.sort(chunked.score))
