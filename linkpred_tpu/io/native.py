@@ -18,7 +18,8 @@ __all__ = ["native_lib", "parse_mtx_body", "parse_mtx_buffer"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SRC = os.path.join(_NATIVE_DIR, "src", "mtx_native.cpp")
+_SRCS = [os.path.join(_NATIVE_DIR, "src", f)
+         for f in ("mtx_native.cpp", "plan_native.cpp")]
 _SO = os.path.join(_NATIVE_DIR, "build", "liblinkpred_native.so")
 
 _lib = None
@@ -30,7 +31,7 @@ def _build() -> bool:
         os.makedirs(os.path.dirname(_SO), exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-             "-o", _SO, _SRC],
+             "-o", _SO, *_SRCS],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -43,9 +44,10 @@ def native_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SRC):
+    if not all(os.path.exists(p) for p in _SRCS):
         return None
-    fresh = os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    fresh = os.path.exists(_SO) and os.path.getmtime(_SO) >= max(
+        os.path.getmtime(p) for p in _SRCS)
     if not fresh and not _build():
         return None
     try:
@@ -58,6 +60,16 @@ def native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double)]
         lib.lp_mtx_detect_cols.restype = ctypes.c_int
         lib.lp_mtx_detect_cols.argtypes = [cchar_p, ctypes.c_int64]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.lp_plan_expand.restype = ctypes.c_int64
+        lib.lp_plan_expand.argtypes = [
+            i32p, i32p, ctypes.c_int64,              # offsets, indices, n
+            i32p, i32p, i32p, ctypes.c_int64,        # src, mid, skip, m1
+            ctypes.c_int32, ctypes.c_int32,          # upper_only, deg16
+            ctypes.c_int64,                          # est
+            i32p, i32p, i32p, i32p, i32p,            # slot arrays
+            i64p]                                    # cnt_u
         _lib = lib
     except OSError:
         _lib = None

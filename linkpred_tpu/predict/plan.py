@@ -80,6 +80,44 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _native_expand(g, src, mid, skip, real, work, deg16: bool):
+    """Fused C++ slot expansion + dead-slot removal (`native/src/
+    plan_native.cpp`); returns ``(kept, sw, su, sudeg, swdeg, smid, cnt_u)``
+    or None when the native library is unavailable (or disabled with
+    LINKPRED_NATIVE_PLAN=0), in which case the NumPy pipeline runs."""
+    import os
+
+    if os.environ.get("LINKPRED_NATIVE_PLAN", "1") == "0":
+        return None
+    try:
+        from ..io.native import native_lib
+    except Exception:
+        return None
+    lib = native_lib()
+    if lib is None:
+        return None
+    n = g.n
+    offs = np.ascontiguousarray(np.asarray(g.offsets, dtype=np.int32))
+    inds = np.ascontiguousarray(np.asarray(g.indices, dtype=np.int32))
+    rsrc = np.ascontiguousarray(src[real].astype(np.int32))
+    rmid = np.ascontiguousarray(mid[real].astype(np.int32))
+    rskip = np.ascontiguousarray(skip[real].astype(np.int32))
+    est = int(work[real].sum())  # pre-removal bound (real rows only)
+    sw = np.empty(est, dtype=np.int32)
+    su = np.empty(est, dtype=np.int32)
+    sudeg = np.empty(est, dtype=np.int32)
+    swdeg = np.empty(1 if deg16 else est, dtype=np.int32)
+    smid = np.empty(est, dtype=np.int32)
+    cnt_u = np.empty(n, dtype=np.int64)
+    kept = int(lib.lp_plan_expand(
+        offs, inds, n, rsrc, rmid, rskip, rsrc.shape[0],
+        1, 1 if deg16 else 0, est, sw, su, sudeg, swdeg, smid, cnt_u))
+    if kept < 0:  # cannot happen (est is an upper bound); defensive fallback
+        return None
+    return (kept, sw[:kept], su[:kept], sudeg[:kept],
+            None if deg16 else swdeg[:kept], smid[:kept], cnt_u)
+
+
 def _pad_tiles(t: int) -> int:
     """Tile-count padding: multiple of 4 (not pow2 — the deferred selection
     sorts t_pad * cap lanes, and pow2 padding wasted up to ~30% of it; a
@@ -310,35 +348,55 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
     tile_slot_start = None
     if packed:
-        # --- host-side slot expansion (one np.repeat pass over the stream) ----
-        work32 = work.astype(np.int64)
-        eprefix = np.cumsum(work32) - work32
-        eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
-        s_iota = np.arange(total_slots, dtype=np.int64)
-        j = s_iota - eprefix[eloc]
-        adr = offsets64[mid][eloc] + skip[eloc] + j
-        wv = indices[adr]
-        slot_src = np.repeat(src, work32)
-        # DEAD-SLOT REMOVAL: the reference zeroes self + first-order neighbors
-        # AFTER accumulating (predict.hxx:306-307); since the plan knows the
-        # adjacency, those slots can be dropped BEFORE the device ever sees
-        # them — (u, w) runs where w ∈ N(u) or w == u can never score, and with
-        # them gone the killer slots have nothing to kill and are dropped too
-        # (~25-30% of the stream on RMAT; the packed upay flag is then
-        # constantly "real").  The edge-stream path keeps killers (it cannot
-        # drop non-contiguous slots).
-        kq = slot_src * n + wv
-        pos = np.searchsorted(gkeys, kq)
-        is_edge = np.zeros(kq.shape[0], dtype=bool)
-        if gkeys.size:
-            inb = pos < gkeys.size
-            is_edge[inb] = gkeys[pos[inb]] == kq[inb]
-        keep_s = np.repeat(real, work32) & ~is_edge & (wv != slot_src)
-        wv = wv[keep_s]
-        slot_src = slot_src[keep_s]
-        slot_mid_deg = deg[np.repeat(mid, work32)[keep_s]]
-        kept = int(wv.shape[0])
-        cnt_u = np.bincount(slot_src, minlength=n).astype(np.int64)
+        # --- host-side slot expansion + DEAD-SLOT REMOVAL --------------------
+        # The reference zeroes self + first-order neighbors AFTER accumulating
+        # (predict.hxx:306-307); since the plan knows the adjacency, those
+        # slots can be dropped BEFORE the device ever sees them — (u, w) runs
+        # where w ∈ N(u) or w == u can never score, and with them gone the
+        # killer slots have nothing to kill and are dropped too (~25-30% of
+        # the stream on RMAT; the packed upay flag is then constantly "real").
+        # The edge-stream path keeps killers (it cannot drop non-contiguous
+        # slots).  A native C++ pass (native/src/plan_native.cpp) fuses the
+        # expansion and the drop in one CSR walk (~10-20x the NumPy temps
+        # pipeline below, which stays as the fallback and semantic oracle).
+        expanded = _native_expand(g, src, mid, skip, real, work, deg16)
+        if expanded is not None:
+            kept, sw, su, sudeg, swdeg_k, smid, cnt_u = expanded
+        else:
+            work32 = work.astype(np.int64)
+            eprefix = np.cumsum(work32) - work32
+            eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
+            s_iota = np.arange(total_slots, dtype=np.int64)
+            j = s_iota - eprefix[eloc]
+            adr = offsets64[mid][eloc] + skip[eloc] + j
+            wv = indices[adr]
+            slot_src = np.repeat(src, work32)
+            kq = slot_src * n + wv
+            pos = np.searchsorted(gkeys, kq)
+            is_edge = np.zeros(kq.shape[0], dtype=bool)
+            if gkeys.size:
+                inb = pos < gkeys.size
+                is_edge[inb] = gkeys[pos[inb]] == kq[inb]
+            keep_s = np.repeat(real, work32) & ~is_edge & (wv != slot_src)
+            wv = wv[keep_s]
+            slot_src = slot_src[keep_s]
+            smid = deg[np.repeat(mid, work32)[keep_s]].astype(np.int32)
+            kept = int(wv.shape[0])
+            cnt_u = np.bincount(slot_src, minlength=n).astype(np.int64)
+            sw = wv.astype(np.int32)
+            su = slot_src.astype(np.int32)
+            if deg16:
+                # Pre-pack the degree pair (udeg << 16 | wdeg) on the host:
+                # one fewer stream array (134 MB at 2^25 slots) and no pack op
+                # in the kernel.  uint32 keeps udeg >= 2^15 from tripping
+                # int32 overflow; the kernel unpacks with a mask post-shift.
+                pair = (deg[slot_src].astype(np.uint32) << np.uint32(16)) \
+                    | deg[wv].astype(np.uint32)
+                sudeg = pair.view(np.int32)
+                swdeg_k = None
+            else:
+                sudeg = deg[slot_src].astype(np.int32)
+                swdeg_k = deg[wv].astype(np.int32)
         prefix_k = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cnt_u, out=prefix_k[1:])
         starts, ends = partition(prefix_k)
@@ -348,24 +406,17 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         slot_u = np.zeros(s_pad, dtype=np.int32)
         slot_udeg = np.zeros(s_pad, dtype=np.int32)
         slot_middeg = np.zeros(s_pad, dtype=np.int32)
-        slot_w[:kept] = wv
+        slot_w[:kept] = sw
         # Bare source id: dead slots are gone, so the packed kernel runs with
         # killers=False and needs no real/killer flag bit.
-        slot_u[:kept] = slot_src
+        slot_u[:kept] = su
+        slot_udeg[:kept] = sudeg
         if deg16:
-            # Pre-pack the degree pair (udeg << 16 | wdeg) on the host: one
-            # fewer stream array (134 MB at 2^25 slots) and no pack op in the
-            # kernel.  uint32 view keeps udeg >= 2^15 from tripping int32
-            # overflow; the kernel unpacks with a mask after the shift.
-            pair = (deg[slot_src].astype(np.uint32) << np.uint32(16)) \
-                | deg[wv].astype(np.uint32)
-            slot_udeg[:kept] = pair.view(np.int32)
             slot_wdeg = np.zeros(1, dtype=np.int32)  # unused dummy
         else:
             slot_wdeg = np.zeros(s_pad, dtype=np.int32)
-            slot_udeg[:kept] = deg[slot_src]
-            slot_wdeg[:kept] = deg[wv]
-        slot_middeg[:kept] = slot_mid_deg
+            slot_wdeg[:kept] = swdeg_k
+        slot_middeg[:kept] = smid
         num_tiles = max(len(starts), 1)
         t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles
         tile_slot_start = np.full(t_pad + 1, kept, dtype=np.int32)

@@ -62,3 +62,36 @@ def test_native_matches_numpy_weighted(lib, tmp_path):
     np.testing.assert_array_equal(to_dense(a), to_dense(b))
     np.testing.assert_allclose(np.asarray(a.weights[: a.m]),
                                np.asarray(b.weights[: b.m]))
+
+
+def test_native_plan_matches_numpy(rng, monkeypatch):
+    # The C++ slot expansion (native/src/plan_native.cpp) must reproduce the
+    # NumPy pipeline element-for-element: same kept slots in the same order,
+    # same degree packing, same tile boundaries — for both deg16 and plain
+    # payloads, LHub and IHub, and the serving (sources=) mode.
+    from conftest import random_graph
+
+    from linkpred_tpu.io.native import native_lib
+    from linkpred_tpu.predict.plan import build_plan
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+
+    def plans(g, deg, **kw):
+        monkeypatch.setenv("LINKPRED_NATIVE_PLAN", "0")
+        p_np = build_plan(g, deg, **kw)
+        monkeypatch.setenv("LINKPRED_NATIVE_PLAN", "1")
+        p_nat = build_plan(g, deg, **kw)
+        return p_np, p_nat
+
+    g = random_graph(rng, n=300, avg_deg=8)
+    for deg, kw in [(4, {}), (0, {}), (16, {"cap": 512}),
+                    (4, {"sources": np.arange(0, 300, 7)})]:
+        p_np, p_nat = plans(g, deg, **kw)
+        assert p_nat.packed and p_np.packed
+        assert p_nat.total_slots == p_np.total_slots
+        assert p_nat.cap == p_np.cap and p_nat.num_tiles == p_np.num_tiles
+        for f in ("slot_w", "slot_u", "slot_udeg", "slot_wdeg",
+                  "slot_middeg", "tile_slot_start"):
+            np.testing.assert_array_equal(
+                getattr(p_nat, f), getattr(p_np, f), err_msg=f"{f} deg={deg}")
