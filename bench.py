@@ -28,6 +28,11 @@ def main() -> int:
     except Exception as e:  # one retry: the relay-backed TPU occasionally flakes
         print(f"bench attempt failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
+        # After a device fault the TPU needs minutes to come back (a plain
+        # jnp.sum times out meanwhile — measured); retrying immediately would
+        # just fail again.
+        import time
+        time.sleep(180)
         return _run()
 
 

@@ -243,3 +243,39 @@ def test_fuzz_random_configs(seed):
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
     np.testing.assert_allclose(
         np.sort(res.score)[::-1], oracle_topk_scores(pairs, len(res)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_fuzz_segmented_chunked_paths(seed, monkeypatch):
+    # same oracle net, but with the segment/chunk limits shrunk so the
+    # hierarchical-selection and chunked-dispatch machinery runs on toy plans
+    # (at production sizes they only trigger at IHub scale)
+    import linkpred_tpu.predict.scoring as scoring_mod
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(100, 300))
+    g = random_graph(rng, n=n, avg_deg=float(rng.uniform(5, 9)))
+    metric = list(METRICS)[int(rng.integers(0, 9))]
+    deg = int(rng.choice([0, 32]))
+    cap = 256
+    monkeypatch.setattr(scoring_mod, "SEG_LANES", 512)       # 2-tile segments
+    monkeypatch.setattr(scoring_mod, "CHUNK_TILES", 8)
+    monkeypatch.setattr(scoring_mod, "CHUNK_TILES_PACKED", 8)
+    import linkpred_tpu.predict.api as api_mod
+    monkeypatch.setattr(api_mod, "CHUNK_TILES", 8)
+    monkeypatch.setattr(api_mod, "CHUNK_TILES_PACKED", 8)
+    scoring_mod.score_tiles.clear_cache()
+    try:
+        k = int(rng.integers(50, 3000))
+        pairs = oracle_scores(g, metric, deg)
+        res = predict_links(g, metric=metric, min_degree1=deg,
+                            options=PredictOptions(max_edges=k), cap=cap)
+        assert len(res) == min(k, len(pairs))
+        for u, v, s in zip(res.u, res.v, res.score):
+            assert (int(u), int(v)) in pairs
+            assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.sort(res.score)[::-1], oracle_topk_scores(pairs, len(res)),
+            rtol=1e-5)
+    finally:
+        scoring_mod.score_tiles.clear_cache()
