@@ -40,7 +40,7 @@ def main():
           f"slots={plan.total_slots} packed={plan.packed} deg16={plan.deg16}",
           flush=True)
     gd = g.device()
-    stream, tile_start, _ = plan.device_stream()
+    stream, tile_start = plan.device_stream()
     metrics = (METRICS["jaccard_coefficient"],)
     k = 1 << 19
     cap = plan.cap
@@ -50,7 +50,7 @@ def main():
         # big arrays enter as jit ARGUMENTS (closure constants embed in the
         # HLO and break the remote compile endpoint)
         return scoring.score_tiles(
-            gd.offsets, gd.indices, gd.degrees, {}, stream,
+            gd.offsets, gd.indices, gd.degrees, stream,
             tile_start, min_score,
             metric_names=("jaccard_coefficient",), cap=cap, k=k,
             w_bits=plan.w_bits, packed=plan.packed, deg16=plan.deg16)
@@ -59,7 +59,7 @@ def main():
     def scan_impl(offsets, indices, degrees, stream, tile_start,
                   min_score):
         stream_fn = scoring._make_stream_fn(
-            offsets, indices, degrees, {}, stream, metrics, cap, 0,
+            offsets, indices, degrees, stream, metrics, cap, 0,
             min_score, plan.w_bits, plan.packed, plan.deg16, True)
 
         def body(c, ts):

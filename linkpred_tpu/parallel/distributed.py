@@ -34,16 +34,36 @@ def init_distributed(
 
     With no arguments, reads the standard env vars
     (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``) or
-    the cluster autodetectors; a no-op when ``JAX_NUM_PROCESSES`` <= 1 and no
-    explicit arguments are given.
+    falls through to ``jax.distributed.initialize()``'s cluster autodetectors
+    (TPU pod metadata, SLURM, GKE).  Explicitly setting
+    ``JAX_NUM_PROCESSES=1`` forces single-process mode; when no cluster is
+    detectable the autodetect attempt is swallowed and the process stays
+    single-host.
     """
     import os
 
     import jax
 
-    if (coordinator_address is None and num_processes is None
-            and int(os.environ.get("JAX_NUM_PROCESSES", "1")) <= 1):
-        return
+    if coordinator_address is None and num_processes is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        if env_np is not None and int(env_np) <= 1:
+            return  # explicit single-process opt-out
+        if env_np is None:
+            # No env config: if a cluster signal is visible, let jax's
+            # autodetectors (TPU pod / SLURM) resolve the process group — an
+            # unconditional early return here silently disabled multi-host on
+            # real pods, where no JAX_* env vars are needed.  The signal check
+            # keeps plain single hosts from probing metadata services (which
+            # can hang on air-gapped machines).
+            cluster_signals = ("TPU_WORKER_ID", "TPU_WORKER_HOSTNAMES",
+                               "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID",
+                               "MEGASCALE_COORDINATOR_ADDRESS")
+            if any(v in os.environ for v in cluster_signals):
+                try:
+                    jax.distributed.initialize()
+                except Exception:
+                    pass
+            return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

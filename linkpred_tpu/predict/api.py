@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..graph import CSRGraph
+from ..utils.numeric import next_pow2 as _next_pow2
 from ..utils.timing import measure_duration
 from .metrics import METRICS, get_metric
 from .plan import TilePlan, build_plan
@@ -26,8 +27,6 @@ __all__ = ["PredictOptions", "PredictResult", "predict_links",
 _DEFAULT_MAX_EDGES = 1 << 20
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(int(x) - 1, 0).bit_length()
 
 
 @dataclasses.dataclass
@@ -156,18 +155,12 @@ def predict_links_multi(
     k = _next_pow2(min(max_edges, max(plan.total_slots + plan.huge_slots, 1)))
     gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
     hp = plan.huge_plan
-    # Weight tables feed only the edge-stream paths; the packed path computes
-    # AA/RA weights elementwise from deg(mid).
-    wt_tables = {} if (plan.packed and (hp is None or hp.packed)) else {
-        s.name: jnp.asarray(s.weight_table(np.asarray(g.degrees)))
-        for s in specs if s.needs_weight}
     # The stable w-key sort serves both streams whenever ids fit (n <= 2^30);
     # w_bits == 0 selects the sentinel two-key edge sort (set
     # LINKPRED_EDGE_SENTINEL=1 to force it, for A/B runs).
     import os as _os
     edge_sentinel = _os.environ.get("LINKPRED_EDGE_SENTINEL", "0") == "1"
     w_bits = plan.w_bits if (plan.keyed and not (edge_sentinel and not plan.packed)) else 0
-    stream, tile_start, tss = plan.device_stream()
     min_score = jnp.float32(o.min_score)
 
     stream_sharded = False
@@ -180,21 +173,26 @@ def predict_links_multi(
         if stream_sharded:
             # Each device holds ONLY its contiguous slot-range block (stream
             # memory = total/D); the packed kernel reads nothing from the CSR
-            # arrays, so only the degree vector stays replicated.
+            # arrays, so only the degree vector stays replicated — and the
+            # full-stream device_stream() upload is SKIPPED entirely (it
+            # would commit GBs to device 0 for nothing).
             m_stream, t_starts, t_ends = shard_stream_for_mesh(plan, mesh, axis)
             dummy = jnp.zeros(1, jnp.int32)
         else:
+            stream, _ = plan.device_stream()
             t_starts, t_ends = pad_tiles_for_mesh(
                 plan.tile_start, mesh.shape[axis])
             t_starts, t_ends = jnp.asarray(t_starts), jnp.asarray(t_ends)
             m_stream = stream
+    else:
+        stream, tile_start = plan.device_stream()
 
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded_chunked(
                 dummy if stream_sharded else gd.offsets,
                 dummy if stream_sharded else gd.indices,
-                gd.degrees, wt_tables, m_stream,
+                gd.degrees, m_stream,
                 t_starts, t_ends, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
@@ -204,7 +202,7 @@ def predict_links_multi(
             )
         else:
             top = score_tiles_chunked(
-                gd.offsets, gd.indices, gd.degrees, wt_tables, stream,
+                gd.offsets, gd.indices, gd.degrees, stream,
                 tile_start, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
@@ -216,18 +214,38 @@ def predict_links_multi(
         # Device-side hub pass: same engine, hub-sized tiles (the reference
         # keeps every source in the parallel loop, predict.hxx:287-288; the
         # dense host scorer survives only as a test oracle).
-        h_stream, h_tile_start, h_tss = hp.device_stream()
+        h_stream, h_tile_start = hp.device_stream()
         top_h = score_tiles_chunked(
-            gd.offsets, gd.indices, gd.degrees, wt_tables, h_stream,
+            gd.offsets, gd.indices, gd.degrees, h_stream,
             h_tile_start, min_score,
             metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
-            w_bits=hp.w_bits if hp.keyed else 0, packed=hp.packed,
+            w_bits=hp.w_bits if (hp.keyed and not (edge_sentinel and not hp.packed)) else 0,
+            packed=hp.packed,
             deg16=hp.deg16, upper_only=hp.upper_only,
             chunk=CHUNK_TILES_PACKED if hp.packed else CHUNK_TILES,
         )
         return (top, top_h)
 
+    # Mega-hub sources whose one-tile expansion would blow the deferred
+    # selection's HBM bound run through the exact host scorer; their wall time
+    # counts toward scoring (the reference keeps every source in its timed
+    # loop, predict.hxx:287-288).
+    host_rows = {}
+    host_ms = 0.0
+    if plan.host_src.size:
+        import time as _time
+
+        from .scoring import score_huge_sources_host
+
+        t0 = _time.perf_counter()
+        for spec in specs:
+            host_rows[spec.name] = score_huge_sources_host(
+                g, plan.host_src, spec, min_degree1, max_factor2,
+                o.min_score, k=max_edges, upper_only=plan.upper_only)
+        host_ms = (_time.perf_counter() - t0) * 1e3
+
     ts, tops = measure_duration(run_scoring, repeat=o.repeat)
+    ts += host_ms
     top, top_h = (tops[0], tops[1] if len(tops) > 1 else None)
 
     results = {}
@@ -252,6 +270,11 @@ def predict_links_multi(
                 scores = np.concatenate([scores, hs])
                 us = np.concatenate([us, hu])
                 vs = np.concatenate([vs, hv])
+            if name in host_rows:
+                ms_, mu_, mv_ = host_rows[name]
+                scores = np.concatenate([scores, ms_])
+                us = np.concatenate([us, mu_])
+                vs = np.concatenate([vs, mv_])
             order = np.argsort(-scores, kind="stable")[:max_edges]
             return us[order], vs[order], scores[order]
 
@@ -300,7 +323,8 @@ def top_per_source(result: PredictResult, k: int) -> PredictResult:
         empty = np.empty(0)
         return PredictResult(empty.astype(np.int32), empty.astype(np.int32),
                              empty.astype(np.float32),
-                             result.time_ms, result.scoring_ms)
+                             result.time_ms, result.scoring_ms,
+                             result.transfer_ms)
     # result.score is descending; a stable sort by u preserves per-source order.
     order = np.argsort(result.u, kind="stable")
     u, v, s = result.u[order], result.v[order], result.score[order]
@@ -314,4 +338,5 @@ def top_per_source(result: PredictResult, k: int) -> PredictResult:
     # restore global descending-score order
     back = np.argsort(-s[keep], kind="stable")
     return PredictResult(u=u[keep][back], v=v[keep][back], score=s[keep][back],
-                         time_ms=result.time_ms, scoring_ms=result.scoring_ms)
+                         time_ms=result.time_ms, scoring_ms=result.scoring_ms,
+                         transfer_ms=result.transfer_ms)

@@ -53,6 +53,7 @@ from typing import Optional
 import numpy as np
 
 from ..graph import CSRGraph
+from ..utils.numeric import next_pow2 as _next_pow2
 
 __all__ = ["TilePlan", "build_plan", "KILL"]
 
@@ -63,6 +64,13 @@ KILL = -(1 << 30)
 # Default ceiling on precomputed slots (packed path): 2**28 slots ≈ 3 GB host +
 # device for the three int32 arrays. Beyond this, fall back to the edge stream.
 SLOT_BUDGET = 1 << 28
+
+# A huge-hub sub-plan puts one source's whole expansion in ONE tile; beyond
+# this many slots the deferred selection cannot bound its raw buffer (a single
+# tile is not segmentable) and a multi-metric pass would OOM the device, so
+# bigger hubs fall back to the exact host scorer (score_huge_sources_host).
+# 2^27 slots = one 1.6 GB selection segment (scoring.SEG_LANES).
+HUGE_DEVICE_MAX = 1 << 27
 
 # Adaptive cap (cap=None): target tile count and cap bounds.  Measured on v5e
 # (RMAT-18/19/20 bench cap sweeps, edges/s at caps 2^20/2^21/2^22):
@@ -76,11 +84,9 @@ AUTO_CAP_MIN = 1 << 16
 AUTO_CAP_MAX = 1 << 21
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def _native_expand(g, src, mid, skip, real, work, deg16: bool):
+def _native_expand(g, src, mid, skip, est: int, deg16: bool):
     """Fused C++ slot expansion + dead-slot removal (`native/src/
     plan_native.cpp`); returns ``(kept, sw, su, sudeg, swdeg, smid, cnt_u)``
     or None when the native library is unavailable (or disabled with
@@ -99,10 +105,9 @@ def _native_expand(g, src, mid, skip, real, work, deg16: bool):
     n = g.n
     offs = np.ascontiguousarray(np.asarray(g.offsets, dtype=np.int32))
     inds = np.ascontiguousarray(np.asarray(g.indices, dtype=np.int32))
-    rsrc = np.ascontiguousarray(src[real].astype(np.int32))
-    rmid = np.ascontiguousarray(mid[real].astype(np.int32))
-    rskip = np.ascontiguousarray(skip[real].astype(np.int32))
-    est = int(work[real].sum())  # pre-removal bound (real rows only)
+    rsrc = np.ascontiguousarray(src.astype(np.int32))
+    rmid = np.ascontiguousarray(mid.astype(np.int32))
+    rskip = np.ascontiguousarray(skip.astype(np.int32))
     sw = np.empty(est, dtype=np.int32)
     su = np.empty(est, dtype=np.int32)
     sudeg = np.empty(est, dtype=np.int32)
@@ -127,14 +132,13 @@ def _pad_tiles(t: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class TilePlan:
-    # Edge stream (always built; the packed path uses it only for planning):
+    # Edge stream (1-element dummies for packed plans, which never read it):
     fe_src: np.ndarray    # int32[M1_pad] source vertex per edge
     fe_mid: np.ndarray    # int32[M1_pad] intermediate vertex (== src for killers)
     fe_work: np.ndarray   # int32[M1_pad] = #neighbors of mid expanded; 0 in padding
     fe_skip: np.ndarray   # int32[M1_pad] leading neighbors of mid skipped (w <= u)
     fe_cnt: np.ndarray    # int32[M1_pad] per-slot count contribution: +1 or KILL
     tile_edge_start: np.ndarray  # int32[T_pad + 1]; tile t covers edges [t, t+1)
-    tile_src_start: np.ndarray   # int32[T_pad + 1]; first source vertex of tile t
     cap: int              # static slot budget per tile
     num_tiles: int        # true tile count (<= T_pad)
     huge_src: np.ndarray  # int64[H] sources routed to the dense fallback
@@ -147,6 +151,11 @@ class TilePlan:
     packed: bool          # True => slot stream precomputed (fast path)
     huge_plan: Optional["TilePlan"] = None  # device sub-plan for hub sources
     #                        whose expansion exceeds one ``cap`` tile
+    # Mega-hubs whose expansion exceeds HUGE_DEVICE_MAX slots (one tile would
+    # blow the deferred selection's HBM bound): scored by the exact host
+    # fallback instead (api.py wires score_huge_sources_host).
+    host_src: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, dtype=np.int64))
     # Packed slot stream (None unless packed).  Everything the device pipeline
     # needs is precomputed per slot, so tiles run with ZERO full-table gathers
     # (measured: in-scan gathers cost 10-31 ms per 2^20 lanes; dynamic-slice
@@ -176,8 +185,8 @@ class TilePlan:
         return self.tile_slot_start if self.packed else self.tile_edge_start
 
     def device_stream(self):
-        """(stream tuple, tile_start, tile_src_start) as device arrays, uploaded
-        once per plan and reused across metrics/calls."""
+        """(stream tuple, tile_start) as device arrays, uploaded once per
+        plan and reused across metrics/calls."""
         d = self._device
         if "stream" not in d:
             import jax.numpy as jnp
@@ -193,8 +202,7 @@ class TilePlan:
                                jnp.asarray(self.fe_work), jnp.asarray(self.fe_skip),
                                jnp.asarray(self.fe_cnt))
             d["tile_start"] = jnp.asarray(self.tile_start)
-            d["tile_src_start"] = jnp.asarray(self.tile_src_start)
-        return d["stream"], d["tile_start"], d["tile_src_start"]
+        return d["stream"], d["tile_start"]
 
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
@@ -252,7 +260,10 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         skip = np.zeros(src.shape[0], dtype=np.int64)
 
     # Killer pseudo-edges: one per active source, expanding over N(u) itself
-    # (tail > u only, same prefilter).
+    # (tail > u only, same prefilter).  Their expansion counts enter the
+    # per-source totals that drive cap selection and huge routing in BOTH
+    # paths; the rows themselves are materialized only for the edge stream
+    # (the packed path drops dead slots at plan time and needs no killers).
     uniq = np.unique(src)
     if upper_only and uniq.size:
         kskip = np.searchsorted(gkeys, uniq * n + uniq, side="right") \
@@ -262,39 +273,33 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     else:
         kuniq = uniq
         kskip = np.zeros(uniq.shape[0], dtype=np.int64)
-    src = np.concatenate([src, kuniq])
-    mid = np.concatenate([mid, kuniq])
-    skip = np.concatenate([skip, kskip])
-    real = np.concatenate([
-        np.ones(src.shape[0] - kuniq.shape[0], dtype=bool),
-        np.zeros(kuniq.shape[0], dtype=bool),
-    ])
-    # Killers sort FIRST within each source: the stable w-key sort preserves
-    # stream order inside each (w, u) group, which is what puts a killer at
-    # its run's head (the liveness test reads the first slot's flag).
-    order = np.lexsort((mid, real, src))
-    src, mid, real, skip = src[order], mid[order], real[order], skip[order]
-    work = deg[mid] - skip
+    kwork = deg[kuniq] - kskip
+    work = deg[mid] - skip      # real rows, already (src, mid)-sorted
 
     if cap is None:
         # Adaptive: ~AUTO_CAP_TILES full tiles over the (pre-dead-slot-removal)
         # expansion estimate; small graphs land on small caps so tiny inputs
         # never pay a 2^22-lane sort.
-        est = int(work.sum())
+        est = int(work.sum() + kwork.sum())
         cap = int(min(max(_next_pow2(-(-est // AUTO_CAP_TILES)),
                           AUTO_CAP_MIN), AUTO_CAP_MAX))
 
     # Per-source slot counts; sources too big for one tile go to the dense path.
-    w_u = np.bincount(src, weights=work.astype(np.float64), minlength=n).astype(np.int64)
+    w_u = (np.bincount(src, weights=work.astype(np.float64), minlength=n)
+           + np.bincount(kuniq, weights=kwork.astype(np.float64),
+                         minlength=n)).astype(np.int64)
     huge_src = np.nonzero(w_u > cap)[0]
     huge_slots = int(w_u[huge_src].sum())
     huge_plan = None
+    host_src = np.empty(0, dtype=np.int64)
     if huge_src.size:
         not_huge = ~np.isin(src, huge_src)
-        src, mid, real, work, skip = (src[not_huge], mid[not_huge],
-                                      real[not_huge], work[not_huge],
-                                      skip[not_huge])
-        w_u_max = int(w_u[huge_src].max())
+        src, mid, work, skip = (src[not_huge], mid[not_huge],
+                                work[not_huge], skip[not_huge])
+        not_huge_k = ~np.isin(kuniq, huge_src)
+        kuniq, kskip, kwork = (kuniq[not_huge_k], kskip[not_huge_k],
+                               kwork[not_huge_k])
+        huge_sizes = w_u[huge_src]
         w_u = w_u.copy()
         w_u[huge_src] = 0
         if _allow_huge:
@@ -305,13 +310,19 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             # pad_tiles_pow2=False: hub sub-plans have 1-2 giant-cap tiles and
             # are per-graph one-offs — padding to 4 tiles would make the
             # deferred selection sort up to 3 ghost tiles of cap lanes each.
-            huge_plan = build_plan(
-                g, min_degree1, cap=_next_pow2(w_u_max),
-                pad_tiles_pow2=False, slot_budget=slot_budget,
-                sources=sources, _keep_src=huge_src, _allow_huge=False)
+            # Mega-hubs past HUGE_DEVICE_MAX (one unsegmentable tile would
+            # blow the deferred selection's HBM bound) go to host_src instead.
+            on_device = huge_sizes <= HUGE_DEVICE_MAX
+            dev_huge = huge_src[on_device]
+            host_src = huge_src[~on_device]
+            if dev_huge.size:
+                huge_plan = build_plan(
+                    g, min_degree1, cap=_next_pow2(int(huge_sizes[on_device].max())),
+                    pad_tiles_pow2=False, slot_budget=slot_budget,
+                    sources=sources, _keep_src=dev_huge, _allow_huge=False)
 
-    m1 = src.shape[0]
-    total_slots = int(work.sum())
+    m1 = src.shape[0] + kuniq.shape[0]
+    total_slots = int(work.sum() + kwork.sum())
 
     deg16 = bool(deg.max(initial=0) < (1 << 16))
     # Stable w-key sort layout (scoring.py): the key is the candidate vertex w
@@ -342,9 +353,6 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             b = nb
         return starts, ends
 
-    row_edge_start = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(src, minlength=n), out=row_edge_start[1:])
-
     slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
     tile_slot_start = None
     if packed:
@@ -359,14 +367,14 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         # slots).  A native C++ pass (native/src/plan_native.cpp) fuses the
         # expansion and the drop in one CSR walk (~10-20x the NumPy temps
         # pipeline below, which stays as the fallback and semantic oracle).
-        expanded = _native_expand(g, src, mid, skip, real, work, deg16)
+        expanded = _native_expand(g, src, mid, skip, int(work.sum()), deg16)
         if expanded is not None:
             kept, sw, su, sudeg, swdeg_k, smid, cnt_u = expanded
         else:
             work32 = work.astype(np.int64)
             eprefix = np.cumsum(work32) - work32
-            eloc = np.repeat(np.arange(m1, dtype=np.int64), work32)
-            s_iota = np.arange(total_slots, dtype=np.int64)
+            eloc = np.repeat(np.arange(src.shape[0], dtype=np.int64), work32)
+            s_iota = np.arange(int(work.sum()), dtype=np.int64)
             j = s_iota - eprefix[eloc]
             adr = offsets64[mid][eloc] + skip[eloc] + j
             wv = indices[adr]
@@ -377,7 +385,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             if gkeys.size:
                 inb = pos < gkeys.size
                 is_edge[inb] = gkeys[pos[inb]] == kq[inb]
-            keep_s = np.repeat(real, work32) & ~is_edge & (wv != slot_src)
+            keep_s = ~is_edge & (wv != slot_src)
             wv = wv[keep_s]
             slot_src = slot_src[keep_s]
             smid = deg[np.repeat(mid, work32)[keep_s]].astype(np.int32)
@@ -425,35 +433,57 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             tile_slot_start[: num_tiles + 1] = prefix_k[bounds]
         else:
             tile_slot_start[:] = 0
+        # The edge-stream arrays are never read for packed plans: store
+        # 1-element dummies (a packed RMAT-scale plan would otherwise pin five
+        # ~m1-sized int32 arrays for nothing) and mirror the slot boundaries
+        # into tile_edge_start so num_tiles_padded stays consistent.
+        tile_edge_start = tile_slot_start.copy()
+        fe_src = fe_mid = fe_work = fe_skip = fe_cnt = \
+            np.zeros(1, dtype=np.int32)
     else:
+        # Materialize killer rows and interleave them killers-FIRST per source:
+        # the stable w-key sort preserves stream order inside each (w, u)
+        # group, which is what puts a killer at its run's head (the liveness
+        # test reads the first slot's flag).
+        esrc = np.concatenate([src, kuniq])
+        emid = np.concatenate([mid, kuniq])
+        eskip = np.concatenate([skip, kskip])
+        real = np.concatenate([np.ones(src.shape[0], dtype=bool),
+                               np.zeros(kuniq.shape[0], dtype=bool)])
+        order = np.lexsort((emid, real, esrc))
+        esrc, emid, real, eskip = (esrc[order], emid[order], real[order],
+                                   eskip[order])
+        ework = deg[emid] - eskip
+
         row_prefix = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(w_u, out=row_prefix[1:])
         starts, ends = partition(row_prefix)
         num_tiles = max(len(starts), 1)
         t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles
 
-    tile_edge_start = np.full(t_pad + 1, m1, dtype=np.int32)
-    tile_src_start = np.full(t_pad + 1, max(n - 1, 0), dtype=np.int32)
-    if starts:
-        bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
-        tile_edge_start[: num_tiles + 1] = row_edge_start[bounds]
-        tile_src_start[: num_tiles] = np.asarray(starts, dtype=np.int32)
-    else:  # empty stream: single all-padding tile
-        tile_edge_start[:] = 0
+        row_edge_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(esrc, minlength=n), out=row_edge_start[1:])
+        tile_edge_start = np.full(t_pad + 1, m1, dtype=np.int32)
+        if starts:
+            bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
+            tile_edge_start[: num_tiles + 1] = row_edge_start[bounds]
+        else:  # empty stream: single all-padding tile
+            tile_edge_start[:] = 0
 
-    # Pad edge arrays so every tile can read a full cap-sized window, rounded to a
-    # power of two so jitted shapes are stable across experiment batches.
-    m1_pad = _next_pow2(m1 + cap)
-    fe_src = np.zeros(m1_pad, dtype=np.int32)
-    fe_mid = np.zeros(m1_pad, dtype=np.int32)
-    fe_work = np.zeros(m1_pad, dtype=np.int32)
-    fe_skip = np.zeros(m1_pad, dtype=np.int32)
-    fe_cnt = np.zeros(m1_pad, dtype=np.int32)
-    fe_src[:m1] = src
-    fe_mid[:m1] = mid
-    fe_work[:m1] = work
-    fe_skip[:m1] = skip
-    fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
+        # Pad edge arrays so every tile can read a full cap-sized window,
+        # rounded to a power of two so jitted shapes stay stable across
+        # experiment batches.
+        m1_pad = _next_pow2(m1 + cap)
+        fe_src = np.zeros(m1_pad, dtype=np.int32)
+        fe_mid = np.zeros(m1_pad, dtype=np.int32)
+        fe_work = np.zeros(m1_pad, dtype=np.int32)
+        fe_skip = np.zeros(m1_pad, dtype=np.int32)
+        fe_cnt = np.zeros(m1_pad, dtype=np.int32)
+        fe_src[:m1] = esrc
+        fe_mid[:m1] = emid
+        fe_work[:m1] = ework
+        fe_skip[:m1] = eskip
+        fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
 
     return TilePlan(
         fe_src=fe_src,
@@ -462,7 +492,6 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         fe_skip=fe_skip,
         fe_cnt=fe_cnt,
         tile_edge_start=tile_edge_start,
-        tile_src_start=tile_src_start,
         cap=cap,
         num_tiles=num_tiles,
         huge_src=huge_src,
@@ -474,6 +503,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         keyed=keyed,
         packed=packed,
         huge_plan=huge_plan,
+        host_src=host_src,
         slot_w=slot_w,
         slot_u=slot_u,
         slot_udeg=slot_udeg,

@@ -196,7 +196,7 @@ def tile_candidates_packed(
 
 
 def tile_candidates(
-    offsets, indices, degrees, wt_tables,
+    offsets, indices, degrees,
     fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score,
@@ -253,8 +253,12 @@ def tile_candidates(
         wdeg = degrees[jnp.clip(w, 0, n - 1)]
         wts = []
         if weighted:
-            midc = jnp.clip(mid, 0, n - 1)
-            wts = [jnp.where(svalid & real, wt_tables[m.name][midc],
+            # One degrees gather serves every weighted metric; the elementwise
+            # weight formula is IDENTICAL to the packed path's (the old
+            # per-metric host float64 table produced low-order-bit differences
+            # between paths, flipping near-tied ranks).
+            dmid_g = degrees[jnp.clip(mid, 0, n - 1)]
+            wts = [jnp.where(svalid & real, m.weight_from_degree(dmid_g),
                              jnp.float32(0.0))
                    for m in weighted]
         return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted,
@@ -267,7 +271,9 @@ def tile_candidates(
     kw = jnp.where(cand, w, _SENTINEL)
     cnt = jnp.where(cand, cnt, 0)
     if weighted:
-        wts = [jnp.where(cnt > 0, wt_tables[m.name][mid], jnp.float32(0.0))
+        dmid_g = degrees[jnp.clip(mid, 0, n - 1)]
+        wts = [jnp.where(cnt > 0, m.weight_from_degree(dmid_g),
+                         jnp.float32(0.0))
                for m in weighted]
         ku, kw, cnt, *wts = jax.lax.sort((ku, kw, cnt, *wts), num_keys=2, is_stable=False)
         is_start, is_end = run_boundaries(ku, kw)
@@ -347,7 +353,10 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
         skey, idx = jax.lax.sort((key, iota), num_keys=1,
                                  is_stable=False)
         top = idx[:kk]
-        out_s.append(_desc_key_score(skey[:kk]))
+        dec = _desc_key_score(skey[:kk])
+        # spread invalid-lane keys decode to NaN (0xFF80xxxx); restore the
+        # TopK contract's -inf empty-slot sentinel for downstream consumers
+        out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
         out_u.append(us[top])
         out_v.append(vs[top])
     return TopK(jnp.stack(out_s), jnp.stack(out_u), jnp.stack(out_v))
@@ -429,7 +438,7 @@ def scan_tiles(
     return _merge_stacked(tops, k)
 
 
-def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
+def _make_stream_fn(offsets, indices, degrees, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
                     deg16=False, upper_only=True):
     if packed:
@@ -448,7 +457,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
 
         def stream_fn(t_start, t_end):
             return tile_candidates(
-                offsets, indices, degrees, wt_tables,
+                offsets, indices, degrees,
                 fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
@@ -463,7 +472,7 @@ def _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
                      "deg16", "upper_only"),
 )
 def score_tiles(
-    offsets, indices, degrees, wt_tables,
+    offsets, indices, degrees,
     stream,
     tile_start,
     min_score,
@@ -475,10 +484,11 @@ def score_tiles(
 
     ``stream`` is the packed slot arrays when ``packed`` else
     ``(fe_src, fe_mid, fe_work, fe_skip, fe_cnt)``.  ``tile_start``
-    indexes slots (packed) or edges (fallback).  ``wt_tables`` maps weighted
-    metric name -> per-vertex table (may be empty when none are weighted)."""
+    indexes slots (packed) or edges (fallback).  AA/RA weights are elementwise
+    functions of deg(mid) on both paths (identical formula => identical
+    low-order bits)."""
     metrics = tuple(METRICS[name] for name in metric_names)
-    stream_fn = _make_stream_fn(offsets, indices, degrees, wt_tables, stream,
+    stream_fn = _make_stream_fn(offsets, indices, degrees, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
                                 deg16, upper_only)
     return scan_tiles(
@@ -501,7 +511,7 @@ _merge_topk_stacked = jax.jit(_merge_stacked, static_argnames=("k",))
 
 
 def score_tiles_chunked(
-    offsets, indices, degrees, wt_tables, stream, tile_start, min_score,
+    offsets, indices, degrees, stream, tile_start, min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
     chunk: int = CHUNK_TILES,
@@ -517,7 +527,7 @@ def score_tiles_chunked(
                   w_bits=w_bits, packed=packed, deg16=deg16,
                   upper_only=upper_only)
     if t_pad <= chunk:
-        return score_tiles(offsets, indices, degrees, wt_tables, stream,
+        return score_tiles(offsets, indices, degrees, stream,
                            tile_start, min_score, **kwargs)
     tops = []
     for c in range(0, t_pad, chunk):
@@ -525,7 +535,7 @@ def score_tiles_chunked(
         if int(ts.shape[0]) < chunk + 1:  # pad: start == end => empty tiles
             pad = chunk + 1 - int(ts.shape[0])
             ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
-        top = score_tiles(offsets, indices, degrees, wt_tables, stream, ts,
+        top = score_tiles(offsets, indices, degrees, stream, ts,
                           min_score, **kwargs)
         # one-leaf fetch bounds program duration (relay kills ~1min+ programs);
         # syncing the whole TopK tuple would pay 3 relay round-trips

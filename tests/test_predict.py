@@ -279,3 +279,47 @@ def test_fuzz_segmented_chunked_paths(seed, monkeypatch):
             rtol=1e-5)
     finally:
         scoring_mod.score_tiles.clear_cache()
+
+
+def test_mega_hub_host_fallback(rng, monkeypatch):
+    # A hub whose one-tile expansion exceeds HUGE_DEVICE_MAX cannot run on
+    # device (an unsegmentable tile would blow the deferred selection's HBM
+    # bound); it must route to the exact host scorer and still produce
+    # oracle-exact results merged with the device output.
+    import linkpred_tpu.predict.plan as plan_mod
+
+    monkeypatch.setattr(plan_mod, "HUGE_DEVICE_MAX", 2048)
+    n_leaves = 900
+    H = 0
+    leaves = np.arange(1, 1 + n_leaves)
+    ring = (leaves - 1 + 1) % n_leaves + 1
+    src = np.concatenate([np.full(n_leaves, H), leaves, leaves, ring])
+    dst = np.concatenate([leaves, np.full(n_leaves, H), ring, leaves])
+    from linkpred_tpu import from_edges
+    g = from_edges(src, dst)
+    plan = plan_mod.build_plan(g, 8, cap=1024)
+    assert plan.host_src.size and H in plan.host_src, (
+        plan.host_src, plan.huge_src)
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=8,
+                        options=PredictOptions(max_edges=20000), plan=plan)
+    pairs = oracle_scores(g, "jaccard_coefficient", 8)
+    assert len(res) == min(20000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
+def test_accurate_log_vs_float64():
+    # the AA weight path computes log on device; the TPU VPU's builtin log is
+    # only ~6e-5 accurate, so metrics.py evaluates it via exact frexp range
+    # reduction + an atanh series — must stay within ~2e-7 of float64
+    import jax.numpy as jnp
+
+    from linkpred_tpu.predict.metrics import _accurate_log
+
+    d = np.unique(np.concatenate([
+        np.arange(2, 5000), 2 ** np.arange(2, 31),
+        np.random.default_rng(0).integers(2, 1 << 30, 5000)]))
+    got = np.asarray(_accurate_log(jnp.asarray(d, dtype=jnp.int32)))
+    want = np.log(d.astype(np.float64))
+    assert (np.abs(got - want) / want).max() < 5e-7
