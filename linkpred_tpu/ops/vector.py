@@ -47,6 +47,8 @@ def scatter_or(a, ids, x):
     """
     if a.dtype == jnp.bool_:
         return a.at[ids].max(x)
+    if ids.shape[0] == 0:  # concatenate below builds a (1,)-lane run marker
+        return a
     order = jnp.argsort(ids)
     sid, sx = ids[order], x[order]
     neq = sid[1:] != sid[:-1]

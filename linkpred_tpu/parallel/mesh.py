@@ -73,10 +73,6 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
 
     host_stream = (plan.slot_w, plan.slot_u, plan.slot_udeg,
                    plan.slot_wdeg, plan.slot_middeg)
-    # Dummy entries (e.g. the 1-element slot_wdeg when the degree pair is
-    # pre-packed) stay dummy per device — the packed kernel never reads them.
-    stacked = [np.zeros((d_count, l_pad if a.shape[0] > 1 else 1), dtype=a.dtype)
-               for a in host_stream]
     tile_s = np.zeros((d_count, t_loc), dtype=np.int32)
     tile_e = np.zeros((d_count, t_loc), dtype=np.int32)
     for d in range(d_count):
@@ -84,17 +80,39 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         if hi <= lo:
             continue
         s0 = int(starts[lo])
-        span = int(ends[hi - 1]) - s0
-        for a, out in zip(host_stream, stacked):
-            if a.shape[0] <= 1:
-                continue
-            out[d, : min(span + plan.cap, a.shape[0] - s0)] = \
-                a[s0 : s0 + span + plan.cap][: l_pad]
         nt = hi - lo
         tile_s[d, :nt] = (starts[lo:hi] - s0).astype(np.int32)
         tile_e[d, :nt] = (ends[lo:hi] - s0).astype(np.int32)
 
     sh = NamedSharding(mesh, P(axis))
+
+    def block(a, idx):
+        # Build ONLY the requested device rows (idx[0] is a dim-0 slice): each
+        # process materializes its addressable shards and nothing else, so
+        # per-host stream memory stays O(total/P + cap), not O(total) — the
+        # multi-host contract distributed.py advertises.
+        lo_d, hi_d, _ = idx[0].indices(d_count)
+        width = l_pad if a.shape[0] > 1 else 1
+        out = np.zeros((hi_d - lo_d, width), dtype=a.dtype)
+        if a.shape[0] > 1:
+            for r, d in enumerate(range(lo_d, hi_d)):
+                lo, hi = cuts[d], cuts[d + 1]
+                if hi <= lo:
+                    continue
+                s0 = int(starts[lo])
+                span = int(ends[hi - 1]) - s0
+                out[r, : min(span + plan.cap, a.shape[0] - s0)] = \
+                    a[s0 : s0 + span + plan.cap][: l_pad]
+        return out[:, : len(range(*idx[1].indices(width)))] \
+            if len(idx) > 1 else out
+
+    def put_stream(a):
+        # Dummy entries (e.g. the 1-element slot_wdeg when the degree pair is
+        # pre-packed) stay dummy per device — the packed kernel never reads
+        # them.
+        shape = (d_count, l_pad if a.shape[0] > 1 else 1)
+        return jax.make_array_from_callback(shape, sh,
+                                            lambda idx, a=a: block(a, idx))
 
     def put(a):
         # make_array_from_callback materializes only the ADDRESSABLE shards in
@@ -103,7 +121,7 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         # non-fully-addressable arrays).
         return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
 
-    out = (tuple(put(a) for a in stacked), put(tile_s), put(tile_e))
+    out = (tuple(put_stream(a) for a in host_stream), put(tile_s), put(tile_e))
     plan._device[key] = out
     return out
 

@@ -252,7 +252,7 @@ def predict_links_multi(
     for i, name in enumerate(names):
         transfer = [0.0]
 
-        def fetch(t, p, i):
+        def fetch(t, i):
             import time as _time
 
             t0 = _time.perf_counter()
@@ -264,9 +264,9 @@ def predict_links_multi(
             return scores[valid], us[valid], vs[valid]
 
         def finalize(i=i, name=name):
-            scores, us, vs = fetch(top, plan, i)
+            scores, us, vs = fetch(top, i)
             if top_h is not None:
-                hs, hu, hv = fetch(top_h, hp, i)
+                hs, hu, hv = fetch(top_h, i)
                 scores = np.concatenate([scores, hs])
                 us = np.concatenate([us, hu])
                 vs = np.concatenate([vs, hv])

@@ -250,10 +250,22 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     # the skip count has a closed form over the globally-sorted (src, dst) edge
     # keys.  This halves the slot stream for symmetric graphs — the device sorts
     # half the data for identical results.
-    gkeys = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
-             + indices[: g.m])
+    _gk = [None]
+
+    def gkeys():
+        # Globally-sorted (src*n + dst) edge keys: the closed-form w>u skip
+        # and the NumPy fallback's dead-slot test binary-search this.  Built
+        # lazily and memoized — serving-mode plans (upper_only=False) with the
+        # native expansion never need it, and it costs ~16 bytes/edge of
+        # transient (the np.repeat temp) plus 8 retained at IHub scale.
+        if _gk[0] is None:
+            _gk[0] = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
+                      + indices[: g.m])
+        return _gk[0]
+
     if upper_only and src.size:
-        skip = np.searchsorted(gkeys, mid * n + src, side="right") - offsets64[mid]
+        skip = np.searchsorted(gkeys(), mid * n + src, side="right") \
+            - offsets64[mid]
         nz = deg[mid] - skip > 0
         src, mid, skip = src[nz], mid[nz], skip[nz]
     else:
@@ -266,7 +278,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     # (the packed path drops dead slots at plan time and needs no killers).
     uniq = np.unique(src)
     if upper_only and uniq.size:
-        kskip = np.searchsorted(gkeys, uniq * n + uniq, side="right") \
+        kskip = np.searchsorted(gkeys(), uniq * n + uniq, side="right") \
             - offsets64[uniq]
         knz = deg[uniq] - kskip > 0
         kuniq, kskip = uniq[knz], kskip[knz]
@@ -380,11 +392,12 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             wv = indices[adr]
             slot_src = np.repeat(src, work32)
             kq = slot_src * n + wv
-            pos = np.searchsorted(gkeys, kq)
+            gk = gkeys()
+            pos = np.searchsorted(gk, kq)
             is_edge = np.zeros(kq.shape[0], dtype=bool)
-            if gkeys.size:
-                inb = pos < gkeys.size
-                is_edge[inb] = gkeys[pos[inb]] == kq[inb]
+            if gk.size:
+                inb = pos < gk.size
+                is_edge[inb] = gk[pos[inb]] == kq[inb]
             keep_s = ~is_edge & (wv != slot_src)
             wv = wv[keep_s]
             slot_src = slot_src[keep_s]

@@ -179,6 +179,11 @@ def test_scatter_or_int_accumulates():
     # duplicate ids must OR-accumulate all writers, not keep one
     np.testing.assert_array_equal(np.asarray(scatter_or(a, ids, x)),
                                   [8, 8 | 1 | 2 | 16, 8 | 4, 8])
+    # empty ids: a well-defined no-op (the run-marker concatenate must not
+    # see mismatched (1,) vs (0,) leading dims)
+    empty = jnp.asarray([], dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(scatter_or(a, empty, empty)),
+                                  np.asarray(a))
 
 
 def test_native_truncated_record_stops(tmp_path):
