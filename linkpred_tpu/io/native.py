@@ -70,6 +70,13 @@ def native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                          # est
             i32p, i32p, i32p, i32p, i32p,            # slot arrays
             i64p]                                    # cnt_u
+        lib.lp_plan_firsthop.restype = ctypes.c_int64
+        lib.lp_plan_firsthop.argtypes = [
+            i32p, i32p, ctypes.c_int64,              # offsets, indices, n
+            ctypes.c_int32, ctypes.c_int32,          # min_degree1, upper_only
+            i32p, i32p, i32p,                        # src, mid, skip out
+            i32p, i32p,                              # kuniq, kskip out
+            ctypes.POINTER(ctypes.c_int64)]          # ku_out
         _lib = lib
     except OSError:
         _lib = None

@@ -36,9 +36,13 @@ shapes, so we *precompute* a balanced schedule on the host:
   cost 10-31 ms per 2^20 lanes; narrow stable keyed sorts are 2x faster than
   wide packed keys).  AA/RA weights are computed elementwise from
   ``slot_middeg``.  Used when the slot count fits ``slot_budget``.
-* **Edge stream** (``packed=False``): per-edge arrays only; the device reconstructs
-  the slot->edge mapping with cumsum + scatter + max-scan and sorts (u, w) as two
-  int32 keys.  Memory-light — used for IHub-scale expansions (slot counts beyond
+* **Edge stream** (``packed=False``): per-edge-row arrays only — ``fe_work``
+  (slots per row), ``fe_adr`` (= offsets[mid] + skip, the row's first expanded
+  neighbor address), ``fe_usrc`` (source; killer rows bitwise-NOTed) and
+  ``fe_middeg``; the device reconstructs the slot->row mapping with cumsum +
+  scatter + max-scan (one eloc-gather per array) and reduces via the same
+  stable w-key sort (two-key sentinel sort when ids exceed the key width).
+  Memory-light — used for IHub-scale expansions (slot counts beyond
   ``slot_budget``, e.g. min_degree1=0 on web graphs) and very wide vertex-ID ranges.
 
 The plan depends on (graph, min_degree1, cap) only; planning is vectorized NumPy and
@@ -123,6 +127,46 @@ def _native_expand(g, src, mid, skip, est: int, deg16: bool):
             None if deg16 else swdeg[:kept], smid[:kept], cnt_u)
 
 
+def _native_firsthop(g, min_degree1: int, upper_only: bool):
+    """C++ first-hop stage (`lp_plan_firsthop`): the filtered (src, mid, skip)
+    edge rows plus the killer (kuniq, kskip) list in one CSR walk — one
+    binary search per edge replaces the NumPy pipeline's O(m) int64
+    global-edge-key temp + searchsorted.  Returns None when the native
+    library is unavailable (or LINKPRED_NATIVE_PLAN=0); full-graph mode only
+    (the ``sources``/``_keep_src`` subset filters stay NumPy)."""
+    import os
+
+    if os.environ.get("LINKPRED_NATIVE_PLAN", "1") == "0":
+        return None
+    try:
+        from ..io.native import native_lib
+    except Exception:
+        return None
+    lib = native_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n, m = g.n, g.m
+    offs = np.ascontiguousarray(np.asarray(g.offsets, dtype=np.int32))
+    inds = np.ascontiguousarray(np.asarray(g.indices, dtype=np.int32))
+    src = np.empty(max(m, 1), dtype=np.int32)
+    mid = np.empty(max(m, 1), dtype=np.int32)
+    skip = np.empty(max(m, 1), dtype=np.int32)
+    kuniq = np.empty(max(n, 1), dtype=np.int32)
+    kskip = np.empty(max(n, 1), dtype=np.int32)
+    ku = ctypes.c_int64(0)
+    m1 = int(lib.lp_plan_firsthop(offs, inds, n, int(min_degree1),
+                                  1 if upper_only else 0, src, mid, skip,
+                                  kuniq, kskip, ctypes.byref(ku)))
+    k = int(ku.value)
+    # int64 views keep every downstream consumer (bincounts, address math,
+    # the NumPy expansion fallback's n*src keys) identical to the NumPy path
+    return (src[:m1].astype(np.int64), mid[:m1].astype(np.int64),
+            skip[:m1].astype(np.int64), kuniq[:k].astype(np.int64),
+            kskip[:k].astype(np.int64))
+
+
 def _pad_tiles(t: int) -> int:
     """Tile-count padding: multiple of 4 (not pow2 — the deferred selection
     sorts t_pad * cap lanes, and pow2 padding wasted up to ~30% of it; a
@@ -132,12 +176,17 @@ def _pad_tiles(t: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class TilePlan:
-    # Edge stream (1-element dummies for packed plans, which never read it):
-    fe_src: np.ndarray    # int32[M1_pad] source vertex per edge
-    fe_mid: np.ndarray    # int32[M1_pad] intermediate vertex (== src for killers)
+    # Edge stream (1-element dummies for packed plans, which never read it).
+    # Per-row precomputes fold the device rebuild to ONE eloc-gather each
+    # (measured 20% per tile over the 5-array src/mid/skip/cnt layout —
+    # experiments/ab_edge3.py):
     fe_work: np.ndarray   # int32[M1_pad] = #neighbors of mid expanded; 0 in padding
-    fe_skip: np.ndarray   # int32[M1_pad] leading neighbors of mid skipped (w <= u)
-    fe_cnt: np.ndarray    # int32[M1_pad] per-slot count contribution: +1 or KILL
+    fe_adr: np.ndarray    # int32[M1_pad] = offsets[mid] + skip: address of the
+    #                        first expanded neighbor (the w <= u head of mid's
+    #                        sorted row is pre-dropped, predict.hxx:221 ft)
+    fe_usrc: np.ndarray   # int32[M1_pad] source vertex; KILLER rows store
+    #                        ~src (bitwise NOT < 0 marks them at any n <= 2^31)
+    fe_middeg: np.ndarray  # int32[M1_pad] deg(mid) (AA/RA weight input)
     tile_edge_start: np.ndarray  # int32[T_pad + 1]; tile t covers edges [t, t+1)
     cap: int              # static slot budget per tile
     num_tiles: int        # true tile count (<= T_pad)
@@ -198,9 +247,10 @@ class TilePlan:
                                jnp.asarray(self.slot_wdeg),
                                jnp.asarray(self.slot_middeg))
             else:
-                d["stream"] = (jnp.asarray(self.fe_src), jnp.asarray(self.fe_mid),
-                               jnp.asarray(self.fe_work), jnp.asarray(self.fe_skip),
-                               jnp.asarray(self.fe_cnt))
+                d["stream"] = (jnp.asarray(self.fe_work),
+                               jnp.asarray(self.fe_adr),
+                               jnp.asarray(self.fe_usrc),
+                               jnp.asarray(self.fe_middeg))
             d["tile_start"] = jnp.asarray(self.tile_start)
         return d["stream"], d["tile_start"]
 
@@ -229,62 +279,66 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     offsets64 = np.asarray(g.offsets, dtype=np.int64)
     indices = np.asarray(g.indices, dtype=np.int64)
 
-    src = np.repeat(np.arange(n, dtype=np.int64), deg)
-    mid = indices[: g.m]
-    dmid = deg[mid]
-    # LHub mask: skip intermediates with deg > min_degree1 when the threshold is set
-    # (predict.hxx:227,301); min_degree1 == 0 means IHub (scan everything).
-    keep = dmid > 0
-    if min_degree1:
-        keep &= dmid <= min_degree1
     upper_only = sources is None
-    if sources is not None:
-        keep &= np.isin(src, np.asarray(sources, dtype=np.int64))
-    if _keep_src is not None:
-        keep &= np.isin(src, np.asarray(_keep_src, dtype=np.int64))
-    src, mid = src[keep], mid[keep]
-
-    # Candidate prefilter at expansion time (full-graph mode): the reference
-    # applies ft = "w > u" inside the scan (predict.hxx:221); adjacency rows are
-    # sorted, so the surviving neighbors of each mid are a contiguous TAIL and
-    # the skip count has a closed form over the globally-sorted (src, dst) edge
-    # keys.  This halves the slot stream for symmetric graphs — the device sorts
-    # half the data for identical results.
     _gk = [None]
 
     def gkeys():
         # Globally-sorted (src*n + dst) edge keys: the closed-form w>u skip
         # and the NumPy fallback's dead-slot test binary-search this.  Built
-        # lazily and memoized — serving-mode plans (upper_only=False) with the
-        # native expansion never need it, and it costs ~16 bytes/edge of
-        # transient (the np.repeat temp) plus 8 retained at IHub scale.
+        # lazily and memoized — native-first-hop plans and serving-mode plans
+        # with the native expansion never need it, and it costs ~16 bytes/edge
+        # of transient (the np.repeat temp) plus 8 retained at IHub scale.
         if _gk[0] is None:
             _gk[0] = (np.repeat(np.arange(n, dtype=np.int64), deg) * n
                       + indices[: g.m])
         return _gk[0]
 
-    if upper_only and src.size:
-        skip = np.searchsorted(gkeys(), mid * n + src, side="right") \
-            - offsets64[mid]
-        nz = deg[mid] - skip > 0
-        src, mid, skip = src[nz], mid[nz], skip[nz]
-    else:
-        skip = np.zeros(src.shape[0], dtype=np.int64)
-
-    # Killer pseudo-edges: one per active source, expanding over N(u) itself
-    # (tail > u only, same prefilter).  Their expansion counts enter the
+    # Stage 1 — the filtered first-hop edge list (LHub mask + w > u candidate
+    # prefilter, predict.hxx:221,227,301) and the killer pseudo-edge list (one
+    # per active source, expanding over N(u) itself; their counts enter the
     # per-source totals that drive cap selection and huge routing in BOTH
-    # paths; the rows themselves are materialized only for the edge stream
-    # (the packed path drops dead slots at plan time and needs no killers).
-    uniq = np.unique(src)
-    if upper_only and uniq.size:
-        kskip = np.searchsorted(gkeys(), uniq * n + uniq, side="right") \
-            - offsets64[uniq]
-        knz = deg[uniq] - kskip > 0
-        kuniq, kskip = uniq[knz], kskip[knz]
+    # paths, but the rows are materialized only for the edge stream — the
+    # packed path drops dead slots at plan time and needs no killers).
+    # Adjacency rows are sorted, so the prefilter survivors are a contiguous
+    # TAIL of each mid's row — this halves the slot stream for symmetric
+    # graphs.  The native C++ walk (lp_plan_firsthop) does one binary search
+    # per edge; the vectorized NumPy pipeline below is the fallback and
+    # semantic oracle (and handles the sources/_keep_src subset modes).
+    fh = (_native_firsthop(g, min_degree1, upper_only)
+          if sources is None and _keep_src is None else None)
+    if fh is not None:
+        src, mid, skip, kuniq, kskip = fh
     else:
-        kuniq = uniq
-        kskip = np.zeros(uniq.shape[0], dtype=np.int64)
+        src = np.repeat(np.arange(n, dtype=np.int64), deg)
+        mid = indices[: g.m]
+        dmid = deg[mid]
+        # LHub mask (predict.hxx:227,301); min_degree1 == 0 means IHub.
+        keep = dmid > 0
+        if min_degree1:
+            keep &= dmid <= min_degree1
+        if sources is not None:
+            keep &= np.isin(src, np.asarray(sources, dtype=np.int64))
+        if _keep_src is not None:
+            keep &= np.isin(src, np.asarray(_keep_src, dtype=np.int64))
+        src, mid = src[keep], mid[keep]
+
+        if upper_only and src.size:
+            skip = np.searchsorted(gkeys(), mid * n + src, side="right") \
+                - offsets64[mid]
+            nz = deg[mid] - skip > 0
+            src, mid, skip = src[nz], mid[nz], skip[nz]
+        else:
+            skip = np.zeros(src.shape[0], dtype=np.int64)
+
+        uniq = np.unique(src)
+        if upper_only and uniq.size:
+            kskip = np.searchsorted(gkeys(), uniq * n + uniq, side="right") \
+                - offsets64[uniq]
+            knz = deg[uniq] - kskip > 0
+            kuniq, kskip = uniq[knz], kskip[knz]
+        else:
+            kuniq = uniq
+            kskip = np.zeros(uniq.shape[0], dtype=np.int64)
     kwork = deg[kuniq] - kskip
     work = deg[mid] - skip      # real rows, already (src, mid)-sorted
 
@@ -447,12 +501,11 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         else:
             tile_slot_start[:] = 0
         # The edge-stream arrays are never read for packed plans: store
-        # 1-element dummies (a packed RMAT-scale plan would otherwise pin five
+        # 1-element dummies (a packed RMAT-scale plan would otherwise pin four
         # ~m1-sized int32 arrays for nothing) and mirror the slot boundaries
         # into tile_edge_start so num_tiles_padded stays consistent.
         tile_edge_start = tile_slot_start.copy()
-        fe_src = fe_mid = fe_work = fe_skip = fe_cnt = \
-            np.zeros(1, dtype=np.int32)
+        fe_work = fe_adr = fe_usrc = fe_middeg = np.zeros(1, dtype=np.int32)
     else:
         # Materialize killer rows and interleave them killers-FIRST per source:
         # the stable w-key sort preserves stream order inside each (w, u)
@@ -487,23 +540,20 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         # rounded to a power of two so jitted shapes stay stable across
         # experiment batches.
         m1_pad = _next_pow2(m1 + cap)
-        fe_src = np.zeros(m1_pad, dtype=np.int32)
-        fe_mid = np.zeros(m1_pad, dtype=np.int32)
         fe_work = np.zeros(m1_pad, dtype=np.int32)
-        fe_skip = np.zeros(m1_pad, dtype=np.int32)
-        fe_cnt = np.zeros(m1_pad, dtype=np.int32)
-        fe_src[:m1] = esrc
-        fe_mid[:m1] = emid
+        fe_adr = np.zeros(m1_pad, dtype=np.int32)
+        fe_usrc = np.zeros(m1_pad, dtype=np.int32)
+        fe_middeg = np.zeros(m1_pad, dtype=np.int32)
         fe_work[:m1] = ework
-        fe_skip[:m1] = eskip
-        fe_cnt[:m1] = np.where(real, np.int32(1), np.int32(KILL))
+        fe_adr[:m1] = offsets64[emid] + eskip
+        fe_usrc[:m1] = np.where(real, esrc, ~esrc)
+        fe_middeg[:m1] = deg[emid]
 
     return TilePlan(
-        fe_src=fe_src,
-        fe_mid=fe_mid,
         fe_work=fe_work,
-        fe_skip=fe_skip,
-        fe_cnt=fe_cnt,
+        fe_adr=fe_adr,
+        fe_usrc=fe_usrc,
+        fe_middeg=fe_middeg,
         tile_edge_start=tile_edge_start,
         cap=cap,
         num_tiles=num_tiles,

@@ -48,6 +48,7 @@ from ..graph import CSRGraph
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
 from ..ops.topk import TopK
 from .metrics import METRICS, MetricSpec
+from .plan import KILL
 
 __all__ = ["score_tiles", "score_tiles_chunked", "tile_candidates",
            "score_huge_sources_host"]
@@ -196,8 +197,8 @@ def tile_candidates_packed(
 
 
 def tile_candidates(
-    offsets, indices, degrees,
-    fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
+    indices, degrees,
+    fe_work, fe_adr, fe_usrc, fe_middeg,
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
@@ -205,6 +206,11 @@ def tile_candidates(
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
     Memory-light path for expansions too large to materialize (IHub-scale).
+    The plan precomputes per edge row the neighbor-window address
+    ``fe_adr = offsets[mid] + skip`` (the w <= u head of mid's sorted row is
+    pre-dropped), the source ``fe_usrc`` (killer rows bitwise-NOTed), and
+    ``fe_middeg = deg(mid)`` — each becomes ONE eloc-gather here, 20% per
+    tile over the old src/mid/skip/cnt layout (experiments/ab_edge3.py).
     When ``w_bits > 0`` (ids fit the w key, n <= 2^30) the reduction is the
     same stable w-key sort as the slot stream — source/degrees/AA-RA weights
     are gathered pre-sort and ride as payloads.  ``w_bits == 0`` falls back to
@@ -233,17 +239,27 @@ def tile_candidates(
 
     # --- expansion (eloc-indexed reads gather within the sliced windows) ----
     svalid = iota < total
-    u = window(fe_src)[eloc]
-    mid = window(fe_mid)[eloc]
-    j = iota - eprefix[eloc]                    # j-th expanded neighbor of mid
-    # fe_skip pre-drops the sorted-ascending head w <= u (plan-time ft filter)
-    w = indices[offsets[mid] + window(fe_skip)[eloc] + j]
-    cnt = window(fe_cnt)[eloc]
+    # adr = fe_adr[row] + j with j = iota - eprefix[row]: fold the row prefix
+    # into the base so one gather serves both
+    base = window(fe_adr) - eprefix
+    w = indices[base[eloc] + iota]
+    raw = window(fe_usrc)[eloc]
+    real = raw >= 0
+    u = jnp.where(real, raw, ~raw)
     weighted = [m for m in metrics if m.needs_weight]
+
+    def mid_weights(live):
+        # One deg(mid) window-gather serves every weighted metric; the
+        # elementwise weight formula is IDENTICAL to the packed path's (a
+        # per-metric host float64 table would produce low-order-bit
+        # differences between paths, flipping near-tied ranks).
+        dmid_g = window(fe_middeg)[eloc]
+        return [jnp.where(live, m.weight_from_degree(dmid_g),
+                          jnp.float32(0.0))
+                for m in weighted]
 
     if w_bits:
         # --- stable w-key reduction (shared with the slot stream) -----------
-        real = cnt > 0
         # serving mode (upper_only=False) scores w != u; self-candidates go to
         # the pad range (upper_only prefilters w <= u at plan time already)
         dead = ~svalid if upper_only else (~svalid | (w == u))
@@ -251,16 +267,7 @@ def tile_candidates(
         upay = (u << 1) | real.astype(i32)
         udeg = degrees[jnp.clip(u, 0, n - 1)]
         wdeg = degrees[jnp.clip(w, 0, n - 1)]
-        wts = []
-        if weighted:
-            # One degrees gather serves every weighted metric; the elementwise
-            # weight formula is IDENTICAL to the packed path's (the old
-            # per-metric host float64 table produced low-order-bit differences
-            # between paths, flipping near-tied ranks).
-            dmid_g = degrees[jnp.clip(mid, 0, n - 1)]
-            wts = [jnp.where(svalid & real, m.weight_from_degree(dmid_g),
-                             jnp.float32(0.0))
-                   for m in weighted]
+        wts = mid_weights(svalid & real) if weighted else []
         return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted,
                                   metrics, w_bits=w_bits, n=n, maxf2=maxf2,
                                   min_score=min_score, deg16=deg16)
@@ -269,12 +276,10 @@ def tile_candidates(
     cand = svalid & ((w > u) if upper_only else (w != u))
     ku = jnp.where(cand, u, _SENTINEL)
     kw = jnp.where(cand, w, _SENTINEL)
-    cnt = jnp.where(cand, cnt, 0)
+    # killer slots contribute KILL so their run's count total goes negative
+    cnt = jnp.where(cand, jnp.where(real, i32(1), i32(KILL)), i32(0))
     if weighted:
-        dmid_g = degrees[jnp.clip(mid, 0, n - 1)]
-        wts = [jnp.where(cnt > 0, m.weight_from_degree(dmid_g),
-                         jnp.float32(0.0))
-               for m in weighted]
+        wts = mid_weights(cnt > 0)
         ku, kw, cnt, *wts = jax.lax.sort((ku, kw, cnt, *wts), num_keys=2, is_stable=False)
         is_start, is_end = run_boundaries(ku, kw)
         tots = segment_run_totals(is_start, cnt, *wts)
@@ -453,12 +458,12 @@ def _make_stream_fn(offsets, indices, degrees, stream,
                 w_bits=w_bits, n=n, deg16=deg16,
             )
     else:
-        fe_src, fe_mid, fe_work, fe_skip, fe_cnt = stream
+        fe_work, fe_adr, fe_usrc, fe_middeg = stream
 
         def stream_fn(t_start, t_end):
             return tile_candidates(
-                offsets, indices, degrees,
-                fe_src, fe_mid, fe_work, fe_skip, fe_cnt,
+                indices, degrees,
+                fe_work, fe_adr, fe_usrc, fe_middeg,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, deg16=deg16, upper_only=upper_only,
@@ -483,7 +488,7 @@ def score_tiles(
     one shared expansion+sort pass; returns a [M, k] TopK.
 
     ``stream`` is the packed slot arrays when ``packed`` else
-    ``(fe_src, fe_mid, fe_work, fe_skip, fe_cnt)``.  ``tile_start``
+    ``(fe_work, fe_adr, fe_usrc, fe_middeg)``.  ``tile_start``
     indexes slots (packed) or edges (fallback).  AA/RA weights are elementwise
     functions of deg(mid) on both paths (identical formula => identical
     low-order bits)."""

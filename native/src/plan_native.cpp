@@ -98,4 +98,62 @@ int64_t lp_plan_expand(const int32_t *offsets, const int32_t *indices,
   return kept;
 }
 
+// Filtered first-hop edge list: the plan's stage 1 (plan.py build_plan).
+// For every directed edge (u -> mid) whose intermediate passes the LHub mask
+// (deg(mid) <= min_degree1 when the threshold is set, predict.hxx:227,301)
+// and still has work after the w > u prefilter, emit (u, mid, skip) where
+// `skip` = |{w in N(mid): w <= u}| (adjacency rows are sorted, so the
+// surviving neighbors are a contiguous tail — one binary search per edge
+// replaces NumPy's global-edge-key searchsorted over an O(m) int64 temp).
+// Killer pseudo-edges (one per source with >= 1 surviving row, used by the
+// edge-stream path and the per-source slot accounting) land in kuniq/kskip;
+// *ku_out receives their count.  Emission order matches the NumPy path
+// exactly: ascending u, row order within u.
+//
+// Returns the surviving row count m1 (caller sizes src/mid/skip at m and
+// kuniq/kskip at n).
+int64_t lp_plan_firsthop(const int32_t *offsets, const int32_t *indices,
+                         int64_t n, int32_t min_degree1, int32_t upper_only,
+                         int32_t *src, int32_t *mid, int32_t *skip,
+                         int32_t *kuniq, int32_t *kskip, int64_t *ku_out) {
+  int64_t m1 = 0, ku = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    const int64_t ulo = offsets[u], uhi = offsets[u + 1];
+    bool active = false;
+    for (int64_t p = ulo; p < uhi; ++p) {
+      const int32_t m = indices[p];
+      const int64_t mlo = offsets[m], mhi = offsets[m + 1];
+      const int32_t dm = (int32_t)(mhi - mlo);
+      if (dm <= 0 || (min_degree1 && dm > min_degree1))
+        continue;
+      int32_t s = 0;
+      if (upper_only) {
+        s = (int32_t)(lower_bound_i32(indices, mlo, mhi, (int32_t)(u + 1)) -
+                      mlo);
+        if (dm - s <= 0)
+          continue;
+      }
+      src[m1] = (int32_t)u;
+      mid[m1] = m;
+      skip[m1] = s;
+      ++m1;
+      active = true;
+    }
+    if (active) {
+      int32_t s = 0;
+      if (upper_only) {
+        s = (int32_t)(lower_bound_i32(indices, ulo, uhi, (int32_t)(u + 1)) -
+                      ulo);
+        if ((int32_t)(uhi - ulo) - s <= 0)
+          continue; // killer has no surviving slots: dropped (NumPy knz)
+      }
+      kuniq[ku] = (int32_t)u;
+      kskip[ku] = s;
+      ++ku;
+    }
+  }
+  *ku_out = ku;
+  return m1;
+}
+
 } // extern "C"

@@ -95,3 +95,15 @@ def test_native_plan_matches_numpy(rng, monkeypatch):
                   "slot_middeg", "tile_slot_start"):
             np.testing.assert_array_equal(
                 getattr(p_nat, f), getattr(p_np, f), err_msg=f"{f} deg={deg}")
+    # Edge-stream plans: the native FIRST-HOP stage (lp_plan_firsthop) feeds
+    # the fe_* arrays (incl. killer rows/skips) — must match NumPy exactly.
+    for deg in (0, 12):
+        p_np, p_nat = plans(g, deg, slot_budget=0)
+        assert p_np.total_slots > 0
+        assert not p_nat.packed and not p_np.packed
+        assert p_nat.total_slots == p_np.total_slots
+        for f in ("fe_work", "fe_adr", "fe_usrc", "fe_middeg",
+                  "tile_edge_start"):
+            np.testing.assert_array_equal(
+                getattr(p_nat, f), getattr(p_np, f),
+                err_msg=f"{f} deg={deg} (edge stream)")

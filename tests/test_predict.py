@@ -154,6 +154,26 @@ def test_edge_stream_sentinel_path_vs_oracle(rng, monkeypatch):
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
 
 
+def test_edge_stream_serving_mode_vs_oracle(rng):
+    # serving mode over the EDGE stream (upper_only=False): directed
+    # candidates, per-slot w != u dead test, killer rows decoded from the
+    # bitwise-NOT source encoding
+    from linkpred_tpu.predict.plan import build_plan
+
+    g = random_graph(rng, n=150, avg_deg=5)
+    sources = np.array([3, 17, 42, 99])
+    plan = build_plan(g, 0, cap=4096, slot_budget=0, sources=sources)
+    assert not plan.packed and not plan.upper_only
+    pairs = oracle_scores(g, "jaccard_coefficient", 0, sources=sources)
+    res = predict_links(g, metric="jaccard_coefficient", min_degree1=0,
+                        options=PredictOptions(max_edges=10_000), plan=plan,
+                        cap=4096, sources=sources)
+    assert len(res) == min(10_000, len(pairs))
+    for u, v, s in zip(res.u, res.v, res.score):
+        assert (int(u), int(v)) in pairs
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
 def test_maxfactor2_quirk_parity(rng):
     # The reference's MAXFACTOR2 predicate self-compares deg(u)
     # (predict.hxx:221,295): with maxf2=1 it keeps only pairs with
