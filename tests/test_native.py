@@ -107,3 +107,54 @@ def test_native_plan_matches_numpy(rng, monkeypatch):
             np.testing.assert_array_equal(
                 getattr(p_nat, f), getattr(p_np, f),
                 err_msg=f"{f} deg={deg} (edge stream)")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_native_firsthop_fuzz(rng, monkeypatch, seed):
+    # lp_plan_firsthop vs the NumPy stage-1 across graph shapes: skewed
+    # (power-law-ish) degrees, hubs above cap (huge routing), directed
+    # remainders after symmetrize, self-loop-free and with isolated vertices.
+    from conftest import random_graph
+
+    from linkpred_tpu import from_edges
+    from linkpred_tpu.io.native import native_lib
+    from linkpred_tpu.predict.plan import build_plan
+
+    if native_lib() is None:
+        pytest.skip("native library unavailable")
+    r = np.random.default_rng(seed)
+    # skewed graph: preferential-attachment-flavored edges + isolated tail
+    n = 400
+    deg_w = 1.0 / (np.arange(n) + 1.0)
+    deg_w /= deg_w.sum()
+    m = 3000
+    src = r.choice(n, size=m, p=deg_w)
+    dst = r.integers(0, n - 50, size=m)  # vertices n-50..n-1 stay isolated
+    keep = src != dst
+    g = from_edges(src[keep], dst[keep], n=n)
+
+    def plans(deg, **kw):
+        monkeypatch.setenv("LINKPRED_NATIVE_PLAN", "0")
+        p_np = build_plan(g, deg, **kw)
+        monkeypatch.setenv("LINKPRED_NATIVE_PLAN", "1")
+        p_nat = build_plan(g, deg, **kw)
+        return p_np, p_nat
+
+    for deg, kw in [(0, {}), (0, {"cap": 1024}), (8, {}),
+                    (0, {"slot_budget": 0}), (16, {"slot_budget": 0})]:
+        p_np, p_nat = plans(deg, **kw)
+        assert p_nat.packed == p_np.packed, (deg, kw)
+        assert p_nat.total_slots == p_np.total_slots, (deg, kw)
+        np.testing.assert_array_equal(p_nat.huge_src, p_np.huge_src)
+        fields = (("slot_w", "slot_u", "slot_udeg", "slot_wdeg",
+                   "slot_middeg", "tile_slot_start") if p_np.packed else
+                  ("fe_work", "fe_adr", "fe_usrc", "fe_middeg",
+                   "tile_edge_start"))
+        for f in fields:
+            np.testing.assert_array_equal(
+                getattr(p_nat, f), getattr(p_np, f),
+                err_msg=f"{f} deg={deg} kw={kw}")
+        if p_np.huge_plan is not None:
+            assert p_nat.huge_plan is not None
+            assert (p_nat.huge_plan.total_slots
+                    == p_np.huge_plan.total_slots)
