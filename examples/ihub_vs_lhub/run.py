@@ -58,6 +58,7 @@ def run_one(y, deletions0, min_degree1: int, repeat: int):
 def main(scales=(14, 15, 16), fractions=(0.01, 0.1), repeat=3):
     rows = []
     for scale in scales:
+        print(f"s{scale}: building R-MAT graph...", flush=True)
         g = rmat_graph(scale, edge_factor=16, seed=42)
         for frac in fractions:
             rng = np.random.default_rng(0)
@@ -65,6 +66,9 @@ def main(scales=(14, 15, 16), fractions=(0.01, 0.1), repeat=3):
                 rng, g, int(frac * g.size / 2), undirected=True)
             dels, ins = tidy_batch(dels, np.empty((0, 2), np.int64), g)
             y = apply_batch(g, dels, ins)
+            print(f"s{scale} frac={frac}: batch applied "
+                  f"(|E|={y.size}); scoring IHub (compiles take minutes "
+                  f"on first run)...", flush=True)
             t0 = time.time()
             ihub_ms, ihub_f1 = run_one(y, dels, 0, repeat)
             print(f"s{scale} frac={frac}: IHub {ihub_ms:.1f} ms f1={ihub_f1:.4f}"
