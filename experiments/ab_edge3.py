@@ -141,3 +141,11 @@ if __name__ == "__main__":
         dargs = jax.tree.map(jnp.asarray, args)
         ms, _ = measure_duration(lambda: fn(*dargs), repeat=3)
         print(f"{name}: {ms:.1f} ms total, {ms / T:.2f} ms/tile", flush=True)
+
+# MEASURED (v5e, 8x 2^21-lane tiles, avg work 32, repeat=3):
+#   A (src/mid/skip/cnt 5-array layout, 8 gathers): 89.40 ms/tile
+#   B (adr/upay fused 3-array layout, 5 gathers):   71.46 ms/tile  (-20%)
+#   C (B + base-eprefix fold):                      71.33 ms/tile  (== B;
+#      XLA already fuses the row-aligned elementwise fold)
+# Adopted as the plan's edge-stream format (fe_work/fe_adr/fe_usrc/fe_middeg,
+# killer rows bitwise-NOTed in fe_usrc so the flag costs no extra gather).
