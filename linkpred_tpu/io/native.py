@@ -50,6 +50,18 @@ def native_lib() -> Optional[ctypes.CDLL]:
         os.path.getmtime(p) for p in _SRCS)
     if not fresh and not _build():
         return None
+    lib = _load()
+    if lib is None and fresh:
+        # A stale prebuilt .so can pass the mtime check (copied artifacts,
+        # extracted archives — mtimes are not content hashes) yet miss newer
+        # symbols; rebuild once from source before giving up.
+        if _build():
+            lib = _load()
+    _lib = lib
+    return _lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(_SO)
         cchar_p = ctypes.POINTER(ctypes.c_char)
@@ -77,10 +89,10 @@ def native_lib() -> Optional[ctypes.CDLL]:
             i32p, i32p, i32p,                        # src, mid, skip out
             i32p, i32p,                              # kuniq, kskip out
             ctypes.POINTER(ctypes.c_int64)]          # ku_out
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+        return lib
+    except (OSError, AttributeError):
+        # AttributeError: .so loaded but misses a symbol (stale artifact)
+        return None
 
 
 def _as_cptr(buf, offset: int = 0):

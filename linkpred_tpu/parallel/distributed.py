@@ -33,12 +33,18 @@ def init_distributed(
     """Initialize the DCN process group (call before any other JAX use).
 
     With no arguments, reads the standard env vars
-    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``) or
-    falls through to ``jax.distributed.initialize()``'s cluster autodetectors
-    (TPU pod metadata, SLURM, GKE).  Explicitly setting
-    ``JAX_NUM_PROCESSES=1`` forces single-process mode; when no cluster is
-    detectable the autodetect attempt is swallowed and the process stays
-    single-host.
+    (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``), or
+    autodetects via ``jax.distributed.initialize()`` — but ONLY on a strong
+    multi-host signal: ``MEGASCALE_COORDINATOR_ADDRESS``, or a
+    ``TPU_WORKER_HOSTNAMES`` naming more than one worker.  Weak signals are
+    deliberately ignored: ``SLURM_JOB_ID`` is set for every batch job
+    (autodetecting there made a plain single-process run block on a peer
+    barrier that would never form), and single-entry ``TPU_WORKER_HOSTNAMES``
+    is how single-host TPU VMs (and this repo's relay environment) present.
+    Explicitly setting ``JAX_NUM_PROCESSES=1`` forces single-process mode.
+    Failures of a signaled multi-host init RAISE — silently degrading to
+    independent single-host processes would break the total/P memory contract
+    and produce P copies of the answer with no error.
     """
     import os
 
@@ -49,20 +55,11 @@ def init_distributed(
         if env_np is not None and int(env_np) <= 1:
             return  # explicit single-process opt-out
         if env_np is None:
-            # No env config: if a cluster signal is visible, let jax's
-            # autodetectors (TPU pod / SLURM) resolve the process group — an
-            # unconditional early return here silently disabled multi-host on
-            # real pods, where no JAX_* env vars are needed.  The signal check
-            # keeps plain single hosts from probing metadata services (which
-            # can hang on air-gapped machines).
-            cluster_signals = ("TPU_WORKER_ID", "TPU_WORKER_HOSTNAMES",
-                               "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID",
-                               "MEGASCALE_COORDINATOR_ADDRESS")
-            if any(v in os.environ for v in cluster_signals):
-                try:
-                    jax.distributed.initialize()
-                except Exception:
-                    pass
+            hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+            multi_host = (len([h for h in hosts.split(",") if h.strip()]) > 1
+                          or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
+            if multi_host:
+                jax.distributed.initialize()
             return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

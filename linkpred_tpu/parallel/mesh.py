@@ -53,8 +53,11 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
     d_count = mesh.shape[axis]
     key = ("sharded", id(mesh), axis)
     cached = plan._device.get(key)
-    if cached is not None:
-        return cached
+    # The entry pins the mesh object: while cached, its id cannot be reused,
+    # so an id-keyed hit is guaranteed to be THIS mesh (a GC'd mesh whose id
+    # was recycled would otherwise return shards committed to stale devices).
+    if cached is not None and cached[0] is mesh:
+        return cached[1]
 
     ts = np.asarray(plan.tile_start, dtype=np.int64)
     t = plan.num_tiles
@@ -122,7 +125,7 @@ def shard_stream_for_mesh(plan, mesh: Mesh, axis: Optional[str] = None):
         return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
 
     out = (tuple(put_stream(a) for a in host_stream), put(tile_s), put(tile_e))
-    plan._device[key] = out
+    plan._device[key] = (mesh, out)
     return out
 
 

@@ -235,13 +235,14 @@ def predict_links_multi(
     if plan.host_src.size:
         import time as _time
 
-        from .scoring import score_huge_sources_host
+        from .scoring import score_huge_sources_host_multi
 
         t0 = _time.perf_counter()
-        for spec in specs:
-            host_rows[spec.name] = score_huge_sources_host(
-                g, plan.host_src, spec, min_degree1, max_factor2,
-                o.min_score, k=max_edges, upper_only=plan.upper_only)
+        # One expansion pass shared by every metric (the fused-pass contract
+        # holds on the host path too).
+        host_rows = score_huge_sources_host_multi(
+            g, plan.host_src, specs, min_degree1, max_factor2,
+            o.min_score, k=max_edges, upper_only=plan.upper_only)
         host_ms = (_time.perf_counter() - t0) * 1e3
 
     ts, tops = measure_duration(run_scoring, repeat=o.repeat)

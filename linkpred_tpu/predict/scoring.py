@@ -552,24 +552,28 @@ def score_tiles_chunked(
     return _merge_topk_stacked(stacked, k)
 
 
-def score_huge_sources_host(
-    g: CSRGraph, huge_src: np.ndarray, metric: MetricSpec,
+def score_huge_sources_host_multi(
+    g: CSRGraph, huge_src: np.ndarray, metrics,
     min_degree1: int, maxf2: int, min_score: float,
     k: Optional[int] = None, upper_only: bool = True,
 ):
-    """Exact scoring for hub sources whose expansion exceeds one tile.
+    """Exact scoring for hub sources whose expansion exceeds one tile — ALL
+    metrics in one expansion pass per source.
 
     Dense per-source accumulation via vectorized bincount — the direct analog of the
     reference's dense ``veout`` scratch (`predict.hxx:117-123`), used only for the
     rare sources where sort-based tiles would fragment (host NumPy for now; these
-    sources are off the benchmark path by construction of ``cap``).
-    Returns (scores f32[*], u i32[*], w i32[*]) candidate arrays.
+    sources are off the benchmark path by construction of ``cap``).  The
+    candidate expansion and count bincount are computed ONCE and shared by
+    every metric (the engine's fused-pass contract); each weighted metric
+    adds one weighted bincount.
+    Returns ``{metric_name: (scores f32[*], u i32[*], w i32[*])}``.
     """
     g = g.host()
     deg = np.asarray(g.degrees, dtype=np.int64)
     offsets = np.asarray(g.offsets, dtype=np.int64)
     indices = np.asarray(g.indices, dtype=np.int64)
-    out_s, out_u, out_w = [], [], []
+    out = {m.name: ([], [], []) for m in metrics}
     for u in np.asarray(huge_src, dtype=np.int64):
         nbrs = indices[offsets[u]: offsets[u] + deg[u]]
         mids = nbrs[(deg[nbrs] > 0) & ((deg[nbrs] <= min_degree1) if min_degree1 else True)]
@@ -584,53 +588,72 @@ def score_huge_sources_host(
         sel = (cand > u) if upper_only else (cand != u)
         cand = cand[sel]
         cnt = np.bincount(cand, minlength=g.n).astype(np.int64)
-        if metric.needs_weight:
-            if metric.name == "adamic_adar":
+        accs = {}
+        for m in metrics:
+            if not m.needs_weight:
+                continue
+            if m.name == "adamic_adar":
                 wt_mid = np.where(dm > 1, 1.0 / np.log(np.maximum(dm, 2)), 0.0)
             else:  # resource_allocation
                 wt_mid = np.where(dm > 0, 1.0 / np.maximum(dm, 1), 0.0)
             wts = np.repeat(wt_mid.astype(np.float64), dm)[sel]
-            acc = np.bincount(cand, weights=wts, minlength=g.n)
-        else:
-            acc = cnt.astype(np.float64)
+            accs[m.name] = np.bincount(cand, weights=wts, minlength=g.n)
         # drop self + first-order neighbors (predict.hxx:306-307)
         cnt[nbrs] = 0
         cnt[u] = 0
-        ws = np.nonzero(cnt > 0)[0]
-        if ws.size == 0:
+        ws_all = np.nonzero(cnt > 0)[0]
+        if ws_all.size == 0:
             continue
-        du, dws = float(deg[u]), deg[ws].astype(np.float64)
-        nuv = cnt[ws].astype(np.float64)
-        name = metric.name
-        if name == "common_neighbors":
-            s = nuv
-        elif name == "jaccard_coefficient":
-            s = nuv / (du + dws - nuv)
-        elif name == "sorensen_index":
-            s = nuv / (du + dws)
-        elif name == "salton_cosine_similarity":
-            s = nuv / np.sqrt(du * dws)
-        elif name == "hub_promoted":
-            s = nuv / np.minimum(du, dws)
-        elif name == "hub_depressed":
-            s = nuv / np.maximum(du, dws)
-        elif name == "leicht_holme_nerman":
-            s = nuv / (du * dws)
-        else:
-            s = acc[ws]
-        s = s.astype(np.float32)
-        keep = s > min_score
-        if maxf2:
-            keep &= (du <= maxf2 * du) & (dws <= maxf2 * du)
-        ws, s = ws[keep], s[keep]
-        if k is not None and s.shape[0] > k:
-            top = np.argpartition(-s, k - 1)[:k]
-            ws, s = ws[top], s[top]
-        out_s.append(s)
-        out_u.append(np.full(ws.shape[0], u, dtype=np.int32))
-        out_w.append(ws.astype(np.int32))
-    if not out_s:
-        z = np.empty(0, dtype=np.float32)
-        zi = np.empty(0, dtype=np.int32)
-        return z, zi, zi
-    return (np.concatenate(out_s), np.concatenate(out_u), np.concatenate(out_w))
+        du, dws_all = float(deg[u]), deg[ws_all].astype(np.float64)
+        nuv_all = cnt[ws_all].astype(np.float64)
+        for m in metrics:
+            name, ws, dws, nuv = m.name, ws_all, dws_all, nuv_all
+            if name == "common_neighbors":
+                s = nuv
+            elif name == "jaccard_coefficient":
+                s = nuv / (du + dws - nuv)
+            elif name == "sorensen_index":
+                s = nuv / (du + dws)
+            elif name == "salton_cosine_similarity":
+                s = nuv / np.sqrt(du * dws)
+            elif name == "hub_promoted":
+                s = nuv / np.minimum(du, dws)
+            elif name == "hub_depressed":
+                s = nuv / np.maximum(du, dws)
+            elif name == "leicht_holme_nerman":
+                s = nuv / (du * dws)
+            else:
+                s = accs[name][ws]
+            s = s.astype(np.float32)
+            keep = s > min_score
+            if maxf2:
+                keep &= (du <= maxf2 * du) & (dws <= maxf2 * du)
+            ws, s = ws[keep], s[keep]
+            if k is not None and s.shape[0] > k:
+                top = np.argpartition(-s, k - 1)[:k]
+                ws, s = ws[top], s[top]
+            o = out[name]
+            o[0].append(s)
+            o[1].append(np.full(ws.shape[0], u, dtype=np.int32))
+            o[2].append(ws.astype(np.int32))
+
+    def cat(lists):
+        if not lists[0]:
+            z = np.empty(0, dtype=np.float32)
+            zi = np.empty(0, dtype=np.int32)
+            return z, zi, zi
+        return tuple(np.concatenate(x) for x in lists)
+
+    return {name: cat(lists) for name, lists in out.items()}
+
+
+def score_huge_sources_host(
+    g: CSRGraph, huge_src: np.ndarray, metric: MetricSpec,
+    min_degree1: int, maxf2: int, min_score: float,
+    k: Optional[int] = None, upper_only: bool = True,
+):
+    """Single-metric wrapper around :func:`score_huge_sources_host_multi`
+    (the test-oracle entry point).  Returns (scores, u, w)."""
+    return score_huge_sources_host_multi(
+        g, huge_src, (metric,), min_degree1, maxf2, min_score,
+        k=k, upper_only=upper_only)[metric.name]
