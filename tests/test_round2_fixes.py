@@ -4,6 +4,7 @@ Covers: the deg16 degree-pair sign-extension bug (degrees in [2^15, 2^16)),
 PlanCache id-reuse pinning, integer scatter_or accumulation, the native MTX
 parser's truncated-record handling, and transpose_with_degree parity.
 """
+import os
 import sys
 
 import numpy as np
@@ -284,3 +285,55 @@ def test_transpose_with_degree(rng):
     gt, deg = transpose_with_degree(g)
     np.testing.assert_array_equal(to_dense(gt), to_dense(g).T)
     np.testing.assert_array_equal(deg, np.asarray(g.degrees))
+
+
+def test_init_distributed_signal_gating(monkeypatch):
+    # Weak cluster signals (SLURM_JOB_ID, single-entry TPU_WORKER_HOSTNAMES —
+    # how single-host TPU VMs and this repo's relay env present) must NOT
+    # trigger jax.distributed autodetect (it would block on a peer barrier
+    # that never forms); strong multi-host signals must.
+    import jax
+
+    from linkpred_tpu.parallel.distributed import init_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    for var in ("JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES", "SLURM_JOB_ID",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    init_distributed()
+    assert not calls, "SLURM_JOB_ID alone must not autodetect"
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    init_distributed()
+    assert not calls, "single-entry TPU_WORKER_HOSTNAMES must not autodetect"
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    init_distributed()
+    assert len(calls) == 1, "multi-entry TPU_WORKER_HOSTNAMES must autodetect"
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    init_distributed()
+    assert len(calls) == 1, "JAX_NUM_PROCESSES=1 is an explicit opt-out"
+
+
+def test_native_lib_rebuilds_stale_so(tmp_path, monkeypatch):
+    # A corrupt/stale .so with a fresh mtime must trigger one rebuild from
+    # source (mtimes are not content hashes), not a crash or silent None.
+    # Operates on a TEMP .so path — overwriting the real one would invalidate
+    # the library already mapped into this process.
+    import linkpred_tpu.io.native as native_mod
+
+    if native_mod.native_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    so = tmp_path / "stale.so"
+    so.write_bytes(b"not an elf file")
+    os.utime(so, None)  # fresh mtime: passes the staleness check
+    monkeypatch.setattr(native_mod, "_SO", str(so))
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    lib = native_mod.native_lib()
+    assert lib is not None and hasattr(lib, "lp_plan_firsthop")
