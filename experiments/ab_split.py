@@ -34,7 +34,7 @@ print(f"slots={plan.total_slots} tiles={plan.num_tiles}/{plan.num_tiles_padded}"
 
 def make(selection: bool):
     def run(stream, ts, min_score):
-        fn = _make_stream_fn(gd.offsets, gd.indices, gd.degrees, stream,
+        fn = _make_stream_fn(gd.indices, gd.degrees, stream,
                              metrics, cap, 0, min_score, plan.w_bits, plan.packed,
                              plan.deg16, plan.upper_only)
         if selection:

@@ -168,7 +168,7 @@ def pad_tiles_for_mesh(
                      "stream_sharded"),
 )
 def score_tiles_sharded(
-    offsets, indices, degrees,
+    indices, degrees,
     stream,
     tile_starts, tile_ends,
     min_score,
@@ -192,14 +192,14 @@ def score_tiles_sharded(
 
     metrics = tuple(METRICS[name] for name in metric_names)
 
-    def local_scan(tile_s, tile_e, offsets, indices,
+    def local_scan(tile_s, tile_e, indices,
                    degrees, stream, min_score):
         if stream_sharded:
             stream = jax.tree.map(lambda a: a[0], stream)
         if tile_s.ndim > 1:  # [1, T_loc] shard of a device-major [D, T_loc]
             tile_s, tile_e = tile_s[0], tile_e[0]
         stream_fn = _make_stream_fn(
-            offsets, indices, degrees, stream,
+            indices, degrees, stream,
             metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only)
         local = scan_tiles(stream_fn, tile_s, tile_e, k, len(metrics), cap)
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
@@ -223,17 +223,17 @@ def score_tiles_sharded(
         local_scan,
         mesh=mesh,
         in_specs=(P(axis), P(axis),
-                  rep, rep, rep,
+                  rep, rep,
                   jax.tree.map(lambda _: stream_spec, stream), rep),
         out_specs=TopK(rep, rep, rep),
         check_vma=False,
     )
-    return fn(tile_starts, tile_ends, offsets, indices,
+    return fn(tile_starts, tile_ends, indices,
               degrees, stream, min_score)
 
 
 def score_tiles_sharded_chunked(
-    offsets, indices, degrees, stream, tile_starts, tile_ends,
+    indices, degrees, stream, tile_starts, tile_ends,
     min_score, *, chunk: int, k: int, **kwargs,
 ) -> TopK:
     """`score_tiles_sharded` dispatched ``chunk`` tiles PER DEVICE at a time
@@ -255,7 +255,7 @@ def score_tiles_sharded_chunked(
         view = lambda a: a
         flat = False
     if t_loc <= chunk:
-        return score_tiles_sharded(offsets, indices, degrees,
+        return score_tiles_sharded(indices, degrees,
                                    stream, tile_starts, tile_ends, min_score,
                                    k=k, **kwargs)
     ts2, te2 = view(tile_starts), view(tile_ends)
@@ -269,7 +269,7 @@ def score_tiles_sharded_chunked(
             sl_e = jnp.concatenate([sl_e, fill_s], axis=1)
         if flat:
             sl_s, sl_e = sl_s.reshape(-1), sl_e.reshape(-1)
-        top = score_tiles_sharded(offsets, indices, degrees,
+        top = score_tiles_sharded(indices, degrees,
                                   stream, sl_s, sl_e, min_score, k=k, **kwargs)
         sync(top.scores)  # bound single-program duration
         tops.append(top)

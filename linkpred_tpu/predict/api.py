@@ -190,7 +190,6 @@ def predict_links_multi(
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded_chunked(
-                dummy if stream_sharded else gd.offsets,
                 dummy if stream_sharded else gd.indices,
                 gd.degrees, m_stream,
                 t_starts, t_ends, min_score,
@@ -202,7 +201,7 @@ def predict_links_multi(
             )
         else:
             top = score_tiles_chunked(
-                gd.offsets, gd.indices, gd.degrees, stream,
+                gd.indices, gd.degrees, stream,
                 tile_start, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
@@ -216,7 +215,7 @@ def predict_links_multi(
         # dense host scorer survives only as a test oracle).
         h_stream, h_tile_start = hp.device_stream()
         top_h = score_tiles_chunked(
-            gd.offsets, gd.indices, gd.degrees, h_stream,
+            gd.indices, gd.degrees, h_stream,
             h_tile_start, min_score,
             metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
             w_bits=hp.w_bits if (hp.keyed and not (edge_sentinel and not hp.packed)) else 0,

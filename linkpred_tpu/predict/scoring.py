@@ -443,7 +443,7 @@ def scan_tiles(
     return _merge_stacked(tops, k)
 
 
-def _make_stream_fn(offsets, indices, degrees, stream,
+def _make_stream_fn(indices, degrees, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
                     deg16=False, upper_only=True):
     if packed:
@@ -477,7 +477,7 @@ def _make_stream_fn(offsets, indices, degrees, stream,
                      "deg16", "upper_only"),
 )
 def score_tiles(
-    offsets, indices, degrees,
+    indices, degrees,
     stream,
     tile_start,
     min_score,
@@ -493,7 +493,7 @@ def score_tiles(
     functions of deg(mid) on both paths (identical formula => identical
     low-order bits)."""
     metrics = tuple(METRICS[name] for name in metric_names)
-    stream_fn = _make_stream_fn(offsets, indices, degrees, stream,
+    stream_fn = _make_stream_fn(indices, degrees, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
                                 deg16, upper_only)
     return scan_tiles(
@@ -516,7 +516,7 @@ _merge_topk_stacked = jax.jit(_merge_stacked, static_argnames=("k",))
 
 
 def score_tiles_chunked(
-    offsets, indices, degrees, stream, tile_start, min_score,
+    indices, degrees, stream, tile_start, min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
     chunk: int = CHUNK_TILES,
@@ -532,7 +532,7 @@ def score_tiles_chunked(
                   w_bits=w_bits, packed=packed, deg16=deg16,
                   upper_only=upper_only)
     if t_pad <= chunk:
-        return score_tiles(offsets, indices, degrees, stream,
+        return score_tiles(indices, degrees, stream,
                            tile_start, min_score, **kwargs)
     tops = []
     for c in range(0, t_pad, chunk):
@@ -540,7 +540,7 @@ def score_tiles_chunked(
         if int(ts.shape[0]) < chunk + 1:  # pad: start == end => empty tiles
             pad = chunk + 1 - int(ts.shape[0])
             ts = jnp.concatenate([ts, jnp.broadcast_to(ts[-1:], (pad,))])
-        top = score_tiles(offsets, indices, degrees, stream, ts,
+        top = score_tiles(indices, degrees, stream, ts,
                           min_score, **kwargs)
         # one-leaf fetch bounds program duration (relay kills ~1min+ programs);
         # syncing the whole TopK tuple would pay 3 relay round-trips
