@@ -225,3 +225,24 @@ def test_generate_edge_deletions_device(rng):
     for (u, v), ok in zip(pairs, valid):
         if ok:
             assert g.has_edge(int(u), int(v))
+
+
+def test_unfused_matches_fused(rng):
+    # --unfused runs each metric as its own pass (honest per-technique
+    # timing); the prediction CONTENT must be identical to the fused pass.
+    from linkpred_tpu import PredictOptions, predict_links, predict_links_multi
+
+    g = random_graph(rng, n=150, avg_deg=6)
+    names = ("common_neighbors", "jaccard_coefficient", "adamic_adar")
+    fused = predict_links_multi(g, names, min_degree1=16,
+                                options=PredictOptions(max_edges=2000),
+                                cap=4096)
+    for name in names:
+        solo = predict_links(g, metric=name, min_degree1=16,
+                             options=PredictOptions(max_edges=2000), cap=4096)
+        f = fused[name]
+        assert len(solo) == len(f)
+        np.testing.assert_allclose(np.sort(solo.score), np.sort(f.score),
+                                   rtol=1e-6)
+        assert solo.time_ms >= solo.scoring_ms >= 0
+        assert solo.transfer_ms >= 0  # transfer reported, excluded from time
