@@ -83,16 +83,45 @@ def _run() -> int:
     import numpy as np
 
     from linkpred_tpu import PredictOptions, predict_links
-    from linkpred_tpu.bench.synth import rmat_graph
-    from linkpred_tpu.ops.batch import apply_batch, generate_edge_deletions, tidy_batch
 
-    g = rmat_graph(scale, edge_factor=16, seed=42)
+    # Host setup (R-MAT synthesis + batch removal: ~50s at scale 19 on this
+    # 1-vCPU host) is deterministic in (scale, seed); cache the post-batch
+    # graph so retries and repeat invocations skip straight to scoring.
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/linkpred_bench_cache")
+    cache = os.path.join(cache_dir, f"rmat{scale}_e16_s42_f0.1.npz")
+    y = deletions = None
+    if os.path.exists(cache):
+        try:
+            from linkpred_tpu.graph import CSRGraph
+            with np.load(cache) as d:
+                y = CSRGraph(offsets=d["offsets"], indices=d["indices"],
+                             degrees=d["degrees"], weights=None,
+                             n=int(d["n"]), m=int(d["m"]))
+                deletions = d["deletions"]
+        except Exception:
+            y = deletions = None
+    if y is None:
+        from linkpred_tpu.bench.synth import rmat_graph
+        from linkpred_tpu.ops.batch import (apply_batch,
+                                            generate_edge_deletions,
+                                            tidy_batch)
 
-    # Reference protocol: remove 0.1|E| edges, predict that many back.
-    rng = np.random.default_rng(0)
-    deletions = generate_edge_deletions(rng, g, int(0.1 * g.size / 2), undirected=True)
-    deletions, insertions = tidy_batch(deletions, np.empty((0, 2), np.int64), g)
-    y = apply_batch(g, deletions, insertions)
+        g = rmat_graph(scale, edge_factor=16, seed=42)
+        # Reference protocol: remove 0.1|E| edges, predict that many back.
+        rng = np.random.default_rng(0)
+        deletions = generate_edge_deletions(rng, g, int(0.1 * g.size / 2),
+                                            undirected=True)
+        deletions, insertions = tidy_batch(
+            deletions, np.empty((0, 2), np.int64), g)
+        y = apply_batch(g, deletions, insertions)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(cache, offsets=np.asarray(y.offsets),
+                     indices=np.asarray(y.indices),
+                     degrees=np.asarray(y.degrees),
+                     n=np.int64(y.n), m=np.int64(y.m), deletions=deletions)
+        except Exception:
+            pass
 
     res = predict_links(
         y, metric=metric, min_degree1=deg,
