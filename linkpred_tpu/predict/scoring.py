@@ -51,7 +51,7 @@ from .metrics import METRICS, MetricSpec
 from .plan import KILL
 
 __all__ = ["score_tiles", "score_tiles_chunked", "tile_candidates",
-           "score_huge_sources_host"]
+           "score_huge_sources_host", "score_huge_sources_host_multi"]
 
 _SENTINEL = np.int32(2**31 - 1)
 
