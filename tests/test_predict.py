@@ -320,13 +320,19 @@ def test_mega_hub_host_fallback(rng, monkeypatch):
     plan = plan_mod.build_plan(g, 8, cap=1024)
     assert plan.host_src.size and H in plan.host_src, (
         plan.host_src, plan.huge_src)
-    res = predict_links(g, metric="jaccard_coefficient", min_degree1=8,
-                        options=PredictOptions(max_edges=20000), plan=plan)
-    pairs = oracle_scores(g, "jaccard_coefficient", 8)
-    assert len(res) == min(20000, len(pairs))
-    for u, v, s in zip(res.u, res.v, res.score):
-        assert (int(u), int(v)) in pairs
-        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+    # fused pass: the host fallback shares ONE expansion across metrics
+    # (score_huge_sources_host_multi); each must stay oracle-exact
+    from linkpred_tpu import predict_links_multi
+    multi = predict_links_multi(
+        g, ("jaccard_coefficient", "adamic_adar"), min_degree1=8,
+        options=PredictOptions(max_edges=20000), plan=plan)
+    for name in ("jaccard_coefficient", "adamic_adar"):
+        res = multi[name]
+        pairs = oracle_scores(g, name, 8)
+        assert len(res) == min(20000, len(pairs))
+        for u, v, s in zip(res.u, res.v, res.score):
+            assert (int(u), int(v)) in pairs
+            assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
 
 
 def test_accurate_log_vs_float64():
