@@ -14,7 +14,7 @@ Scale default: RMAT-19.  Larger R-MATs skew harder, so the LHub hub-skip
 removes more of the expansion — exactly the regime the reference's sk-2005
 headline measures (web-crawl skew, best-F1 threshold).  Full scale sensitivity
 is tabled in STATUS.md (measured r2, adaptive cap: s18 50.8M, s19 134.5M,
-s20 74.2M edges/s); set BENCH_SCALE to reproduce any row.
+s20 74.2M, s21 37.4M edges/s); set BENCH_SCALE to reproduce any row.
 """
 from __future__ import annotations
 
