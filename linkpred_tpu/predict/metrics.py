@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["METRICS", "MetricSpec", "get_metric", "TECHNIQUE_NAMES"]
@@ -42,28 +43,37 @@ class MetricSpec(NamedTuple):
     name: str
     needs_weight: bool  # True => accumulate mid-vertex weights (CUSTOMVALUE variant)
 
-    def weight_from_degree(self, deg):
+    def weight_from_degree(self, deg, xp=jnp):
         """Per-intermediate weight as an elementwise function of deg(mid)
-        (float32 array in, float32 out) — the reference accumulates
-        ``1.0/log(degree)`` / ``1.0/degree`` per scan step
-        (`predict.hxx:770,788,810,828`); both engine paths use THIS function,
-        so AA/RA scores are bit-identical across paths.  Guarded against
-        deg<=1 (such lanes are masked downstream, but inf/nan must not be
+        — the reference accumulates ``1.0/log(degree)`` / ``1.0/degree`` per
+        scan step (`predict.hxx:770,788,810,828`).  This is the ONLY statement
+        of the weight formulas: both engine paths call it with ``xp=jnp``
+        (float32, exact-range-reduction log — bit-identical across paths) and
+        the host scorer / test oracle call it with ``xp=np`` (float64, libm
+        log — the reference's double accumulator).  Guarded against deg<=1
+        (such lanes are masked downstream, but inf/nan must not be
         produced)."""
-        d = deg.astype(jnp.float32)
+        if xp is jnp:
+            d = deg.astype(jnp.float32)
+            log = _accurate_log
+        else:
+            d = np.asarray(deg, dtype=np.float64)
+            log = np.log
         if self.name == "adamic_adar":
-            return jnp.where(d > 1,
-                             1.0 / _accurate_log(jnp.maximum(d, 2.0)), 0.0)
+            return xp.where(d > 1, 1.0 / log(xp.maximum(d, 2.0)), 0.0)
         if self.name == "resource_allocation":
-            return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1.0), 0.0)
+            return xp.where(d > 0, 1.0 / xp.maximum(d, 1.0), 0.0)
         raise AssertionError(self.name)
 
-    def score(self, cnt, acc, deg_u, deg_v):
-        """Similarity score. ``cnt`` int32 common-neighbor count, ``acc`` float32
-        accumulated weight (AA/RA only), degrees int32."""
-        nuv = cnt.astype(jnp.float32)
-        du = deg_u.astype(jnp.float32)
-        dv = deg_v.astype(jnp.float32)
+    def score(self, cnt, acc, deg_u, deg_v, xp=jnp):
+        """Similarity score — the ONLY statement of the 9 score formulas
+        (`predict.hxx:503-831`).  ``cnt`` common-neighbor count, ``acc``
+        accumulated weight (AA/RA only).  ``xp=jnp`` (device paths) computes
+        in float32; ``xp=np`` (host scorer, test oracle) in float64."""
+        dtype = jnp.float32 if xp is jnp else np.float64
+        nuv = cnt.astype(dtype)
+        du = deg_u.astype(dtype) if hasattr(deg_u, "astype") else dtype(deg_u)
+        dv = deg_v.astype(dtype) if hasattr(deg_v, "astype") else dtype(deg_v)
         n = self.name
         if n == "common_neighbors":      # predict.hxx:504
             return nuv
@@ -72,11 +82,11 @@ class MetricSpec(NamedTuple):
         if n == "sorensen_index":        # predict.hxx:580
             return nuv / (du + dv)
         if n == "salton_cosine_similarity":  # predict.hxx:618
-            return nuv / jnp.sqrt(du * dv)
+            return nuv / xp.sqrt(du * dv)
         if n == "hub_promoted":          # predict.hxx:656
-            return nuv / jnp.minimum(du, dv)
+            return nuv / xp.minimum(du, dv)
         if n == "hub_depressed":         # predict.hxx:694
-            return nuv / jnp.maximum(du, dv)
+            return nuv / xp.maximum(du, dv)
         if n == "leicht_holme_nerman":   # predict.hxx:732
             return nuv / (du * dv)
         if n in ("adamic_adar", "resource_allocation"):  # predict.hxx:771,811

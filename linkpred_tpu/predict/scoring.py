@@ -592,11 +592,8 @@ def score_huge_sources_host_multi(
         for m in metrics:
             if not m.needs_weight:
                 continue
-            if m.name == "adamic_adar":
-                wt_mid = np.where(dm > 1, 1.0 / np.log(np.maximum(dm, 2)), 0.0)
-            else:  # resource_allocation
-                wt_mid = np.where(dm > 0, 1.0 / np.maximum(dm, 1), 0.0)
-            wts = np.repeat(wt_mid.astype(np.float64), dm)[sel]
+            # single source of truth: MetricSpec.weight_from_degree (float64)
+            wts = np.repeat(m.weight_from_degree(dm, xp=np), dm)[sel]
             accs[m.name] = np.bincount(cand, weights=wts, minlength=g.n)
         # drop self + first-order neighbors (predict.hxx:306-307)
         cnt[nbrs] = 0
@@ -607,24 +604,10 @@ def score_huge_sources_host_multi(
         du, dws_all = float(deg[u]), deg[ws_all].astype(np.float64)
         nuv_all = cnt[ws_all].astype(np.float64)
         for m in metrics:
-            name, ws, dws, nuv = m.name, ws_all, dws_all, nuv_all
-            if name == "common_neighbors":
-                s = nuv
-            elif name == "jaccard_coefficient":
-                s = nuv / (du + dws - nuv)
-            elif name == "sorensen_index":
-                s = nuv / (du + dws)
-            elif name == "salton_cosine_similarity":
-                s = nuv / np.sqrt(du * dws)
-            elif name == "hub_promoted":
-                s = nuv / np.minimum(du, dws)
-            elif name == "hub_depressed":
-                s = nuv / np.maximum(du, dws)
-            elif name == "leicht_holme_nerman":
-                s = nuv / (du * dws)
-            else:
-                s = accs[name][ws]
-            s = s.astype(np.float32)
+            name, ws = m.name, ws_all
+            # single source of truth: MetricSpec.score (float64 host path)
+            acc = accs[name][ws] if m.needs_weight else nuv_all
+            s = m.score(nuv_all, acc, du, dws_all, xp=np).astype(np.float32)
             keep = s > min_score
             if maxf2:
                 keep &= (du <= maxf2 * du) & (dws <= maxf2 * du)

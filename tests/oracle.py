@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from linkpred_tpu.graph import CSRGraph, to_dense
+from linkpred_tpu.predict.metrics import METRICS
 
 
 def oracle_scores(g: CSRGraph, metric: str, min_degree1: int, max_factor2: int = 0,
@@ -24,11 +25,10 @@ def oracle_scores(g: CSRGraph, metric: str, min_degree1: int, max_factor2: int =
         mid_ok &= deg <= min_degree1
 
     cnt = (A * mid_ok[None, :]) @ A  # cnt[u, w] = |{v in N(u): deg v <= D1, w in N(v)}|
-    if metric == "adamic_adar":
-        wt = np.where(deg > 1, 1.0 / np.log(np.maximum(deg, 2.0)), 0.0) * mid_ok
-        acc = (A * wt[None, :]) @ A
-    elif metric == "resource_allocation":
-        wt = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0) * mid_ok
+    spec = METRICS[metric]  # KeyError for unknown metrics
+    if spec.needs_weight:
+        # single source of truth: MetricSpec.weight_from_degree (float64)
+        wt = spec.weight_from_degree(deg, xp=np) * mid_ok
         acc = (A * wt[None, :]) @ A
     else:
         acc = cnt
@@ -36,24 +36,8 @@ def oracle_scores(g: CSRGraph, metric: str, min_degree1: int, max_factor2: int =
     du = deg[:, None]
     dv = deg[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
-        if metric == "common_neighbors":
-            s = cnt
-        elif metric == "jaccard_coefficient":
-            s = cnt / (du + dv - cnt)
-        elif metric == "sorensen_index":
-            s = cnt / (du + dv)
-        elif metric == "salton_cosine_similarity":
-            s = cnt / np.sqrt(du * dv)
-        elif metric == "hub_promoted":
-            s = cnt / np.minimum(du, dv)
-        elif metric == "hub_depressed":
-            s = cnt / np.maximum(du, dv)
-        elif metric == "leicht_holme_nerman":
-            s = cnt / (du * dv)
-        elif metric in ("adamic_adar", "resource_allocation"):
-            s = acc
-        else:
-            raise KeyError(metric)
+        # single source of truth: MetricSpec.score (float64 host path)
+        s = spec.score(cnt, acc, du, dv, xp=np)
 
     if sources is None:
         valid = np.triu(np.ones((n, n), dtype=bool), k=1)  # w > u
