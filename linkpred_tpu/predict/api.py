@@ -152,9 +152,23 @@ def predict_links_multi(
         else:
             plan = build_plan(g, min_degree1, cap, sources=sources)
 
-    k = _next_pow2(min(max_edges, max(plan.total_slots + plan.huge_slots, 1)))
+    def _collect_subplans(p):
+        # Sub-plan passes in scoring order: the degree-regime side stream and
+        # the hub sub-plan (which may itself carry a side stream).
+        out = []
+        for q in (p.side_plan, p.huge_plan):
+            if q is not None:
+                out.append(q)
+                out.extend(_collect_subplans(q))
+        return out
+
+    sub_plans = _collect_subplans(plan)
+    # huge_slots already covers the hub sub-plan's stream; only the top-level
+    # side stream's slots are additional.
+    all_slots = (plan.total_slots + plan.huge_slots
+                 + (plan.side_plan.total_slots if plan.side_plan else 0))
+    k = _next_pow2(min(max_edges, max(all_slots, 1)))
     gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
-    hp = plan.huge_plan
     # The stable w-key sort serves both streams whenever ids fit (n <= 2^30);
     # w_bits == 0 selects the sentinel two-key edge sort (set
     # LINKPRED_EDGE_SENTINEL=1 to force it, for A/B runs).
@@ -164,6 +178,7 @@ def predict_links_multi(
     min_score = jnp.float32(o.min_score)
 
     stream_sharded = False
+    dummy = jnp.zeros(1, jnp.int32)
     if mesh is not None:
         from ..parallel.mesh import (
             pad_tiles_for_mesh, score_tiles_sharded_chunked,
@@ -177,7 +192,6 @@ def predict_links_multi(
             # full-stream device_stream() upload is SKIPPED entirely (it
             # would commit GBs to device 0 for nothing).
             m_stream, t_starts, t_ends = shard_stream_for_mesh(plan, mesh, axis)
-            dummy = jnp.zeros(1, jnp.int32)
         else:
             stream, _ = plan.device_stream()
             t_starts, t_ends = pad_tiles_for_mesh(
@@ -186,6 +200,33 @@ def predict_links_multi(
             m_stream = stream
     else:
         stream, tile_start = plan.device_stream()
+
+    def run_sub(p):
+        # Sub-plan pass (degree-regime side stream / hub sub-plan): the same
+        # engine, and under a mesh the SAME sharded path as the main stream —
+        # the reference keeps every source inside its one parallel loop
+        # (predict.hxx:287-288), so no sub-pass may serialize onto one device.
+        wb = p.w_bits if (p.keyed and not (edge_sentinel and not p.packed)) \
+            else 0
+        kw = dict(metric_names=names, cap=p.cap, k=k, maxf2=max_factor2,
+                  w_bits=wb, packed=p.packed, deg16=p.deg16,
+                  upper_only=p.upper_only,
+                  chunk=CHUNK_TILES_PACKED if p.packed else CHUNK_TILES)
+        if mesh is not None:
+            if p.packed:
+                s_stream, s_ts, s_te = shard_stream_for_mesh(p, mesh, axis)
+            else:
+                s_stream, _ = p.device_stream()
+                s_ts, s_te = pad_tiles_for_mesh(p.tile_start,
+                                                mesh.shape[axis])
+                s_ts, s_te = jnp.asarray(s_ts), jnp.asarray(s_te)
+            return score_tiles_sharded_chunked(
+                dummy if p.packed else gd.indices, gd.degrees, s_stream,
+                s_ts, s_te, min_score, mesh=mesh, axis=axis,
+                stream_sharded=p.packed, **kw)
+        s_stream, s_ts = p.device_stream()
+        return score_tiles_chunked(gd.indices, gd.degrees, s_stream, s_ts,
+                                   min_score, **kw)
 
     def run_scoring():
         if mesh is not None:
@@ -208,22 +249,7 @@ def predict_links_multi(
                 upper_only=plan.upper_only,
                 chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES,
             )
-        if hp is None:
-            return (top,)
-        # Device-side hub pass: same engine, hub-sized tiles (the reference
-        # keeps every source in the parallel loop, predict.hxx:287-288; the
-        # dense host scorer survives only as a test oracle).
-        h_stream, h_tile_start = hp.device_stream()
-        top_h = score_tiles_chunked(
-            gd.indices, gd.degrees, h_stream,
-            h_tile_start, min_score,
-            metric_names=names, cap=hp.cap, k=k, maxf2=max_factor2,
-            w_bits=hp.w_bits if (hp.keyed and not (edge_sentinel and not hp.packed)) else 0,
-            packed=hp.packed,
-            deg16=hp.deg16, upper_only=hp.upper_only,
-            chunk=CHUNK_TILES_PACKED if hp.packed else CHUNK_TILES,
-        )
-        return (top, top_h)
+        return (top, *[run_sub(p) for p in sub_plans])
 
     # Mega-hub sources whose one-tile expansion would blow the deferred
     # selection's HBM bound run through the exact host scorer; their wall time
@@ -246,7 +272,7 @@ def predict_links_multi(
 
     ts, tops = measure_duration(run_scoring, repeat=o.repeat)
     ts += host_ms
-    top, top_h = (tops[0], tops[1] if len(tops) > 1 else None)
+    top, sub_tops = tops[0], tops[1:]
 
     results = {}
     for i, name in enumerate(names):
@@ -265,8 +291,8 @@ def predict_links_multi(
 
         def finalize(i=i, name=name):
             scores, us, vs = fetch(top, i)
-            if top_h is not None:
-                hs, hu, hv = fetch(top_h, i)
+            for t in sub_tops:
+                hs, hu, hv = fetch(t, i)
                 scores = np.concatenate([scores, hs])
                 us = np.concatenate([us, hu])
                 vs = np.concatenate([vs, hv])

@@ -195,11 +195,18 @@ class TilePlan:
     huge_slots: int       # expansion slots routed to the huge-source path
     w_bits: int           # bit width of candidate ids (pads live at 2^w_bits+)
     upper_only: bool      # True => score pairs w > u only (full-graph mode)
-    deg16: bool           # True => all degrees < 2^16 (degree pair packs to one i32)
+    deg16: bool           # True => every pair degree in THIS stream < 2^16
+    #                        (degree pair packs to one i32; globally-oversized
+    #                        pairs ride ``side_plan``)
     keyed: bool           # True => candidate ids fit the w key (n <= 2^30)
     packed: bool          # True => slot stream precomputed (fast path)
     huge_plan: Optional["TilePlan"] = None  # device sub-plan for hub sources
     #                        whose expansion exceeds one ``cap`` tile
+    side_plan: Optional["TilePlan"] = None  # degree-regime side stream: slots
+    #                        whose pair degrees exceed 16 bits ride a small
+    #                        4-operand plan so the main stream keeps the
+    #                        packed-pair 3-operand sort (scored as an extra
+    #                        pass, merged like the hub sub-plan)
     # Mega-hubs whose expansion exceeds HUGE_DEVICE_MAX slots (one tile would
     # blow the deferred selection's HBM bound): scored by the exact host
     # fallback instead (api.py wires score_huge_sources_host).
@@ -402,16 +409,17 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     keyed = w_bits + 1 <= 31             # one spare value range for pads
     packed = keyed and total_slots <= slot_budget  # slot stream materializable
 
-    def partition(prefix):
+    def partition(prefix, cap_s=None):
         # Source-aligned greedy partition: tile boundaries at row starts, each
         # tile's slot total <= cap.  The Python loop runs num_tiles times.
+        cap_s = cap if cap_s is None else cap_s
         starts, ends = [], []
         b = 0
         while prefix[b] < prefix[-1]:
             # first source >= b with any slots (skip inactive ranges)
             a = int(np.searchsorted(prefix, prefix[b], side="right")) - 1
             a = max(a, b)
-            nb = int(np.searchsorted(prefix, prefix[a] + cap, side="right")) - 1
+            nb = int(np.searchsorted(prefix, prefix[a] + cap_s, side="right")) - 1
             if nb <= a:  # defensive; cannot happen since per-source work <= cap
                 nb = a + 1
             starts.append(a)
@@ -421,6 +429,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
 
     slot_w = slot_u = slot_udeg = slot_wdeg = slot_middeg = None
     tile_slot_start = None
+    side_plan = None
     if packed:
         # --- host-side slot expansion + DEAD-SLOT REMOVAL --------------------
         # The reference zeroes self + first-order neighbors AFTER accumulating
@@ -472,34 +481,102 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             else:
                 sudeg = deg[slot_src].astype(np.int32)
                 swdeg_k = deg[wv].astype(np.int32)
-        prefix_k = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cnt_u, out=prefix_k[1:])
-        starts, ends = partition(prefix_k)
-        total_slots = kept
-        s_pad = _next_pow2(kept + cap)
-        slot_w = np.zeros(s_pad, dtype=np.int32)
-        slot_u = np.zeros(s_pad, dtype=np.int32)
-        slot_udeg = np.zeros(s_pad, dtype=np.int32)
-        slot_middeg = np.zeros(s_pad, dtype=np.int32)
-        slot_w[:kept] = sw
-        # Bare source id: dead slots are gone, so the packed kernel runs with
-        # killers=False and needs no real/killer flag bit.
-        slot_u[:kept] = su
-        slot_udeg[:kept] = sudeg
-        if deg16:
-            slot_wdeg = np.zeros(1, dtype=np.int32)  # unused dummy
-        else:
-            slot_wdeg = np.zeros(s_pad, dtype=np.int32)
-            slot_wdeg[:kept] = swdeg_k
-        slot_middeg[:kept] = smid
-        num_tiles = max(len(starts), 1)
-        t_pad = _pad_tiles(num_tiles) if pad_tiles_pow2 else num_tiles
-        tile_slot_start = np.full(t_pad + 1, kept, dtype=np.int32)
-        if starts:
-            bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
-            tile_slot_start[: num_tiles + 1] = prefix_k[bounds]
-        else:
-            tile_slot_start[:] = 0
+        def _emit(sw_s, su_s, sudeg_s, swdeg_s, smid_s, cnt_u_s, cap_s,
+                  deg16_s, pad4):
+            """Pack one slot sub-stream into padded device arrays plus its
+            source-aligned tile partition (slots <= cap_s per tile).  Shared
+            by the main stream and the degree-regime side stream."""
+            kept_s = int(sw_s.shape[0])
+            prefix_s = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cnt_u_s, out=prefix_s[1:])
+            starts, ends = partition(prefix_s, cap_s)
+            s_pad = _next_pow2(kept_s + cap_s)
+            z_w = np.zeros(s_pad, dtype=np.int32)
+            z_u = np.zeros(s_pad, dtype=np.int32)
+            z_ud = np.zeros(s_pad, dtype=np.int32)
+            z_md = np.zeros(s_pad, dtype=np.int32)
+            z_w[:kept_s] = sw_s
+            # Bare source id: dead slots are gone, so the packed kernel runs
+            # with killers=False and needs no real/killer flag bit.
+            z_u[:kept_s] = su_s
+            z_ud[:kept_s] = sudeg_s
+            if deg16_s:
+                z_wd = np.zeros(1, dtype=np.int32)  # unused dummy
+            else:
+                z_wd = np.zeros(s_pad, dtype=np.int32)
+                z_wd[:kept_s] = swdeg_s
+            z_md[:kept_s] = smid_s
+            nt = max(len(starts), 1)
+            tp = _pad_tiles(nt) if pad4 else nt
+            t_start = np.full(tp + 1, kept_s, dtype=np.int32)
+            if starts:
+                bounds = np.asarray(starts + [ends[-1]], dtype=np.int64)
+                t_start[: nt + 1] = prefix_s[bounds]
+            else:
+                t_start[:] = 0
+            return z_w, z_u, z_ud, z_wd, z_md, t_start, nt, kept_s
+
+        # --- degree-regime split ---------------------------------------------
+        # deg16 is a PAIR property: every slot of a (u, w) run shares deg(u)/
+        # deg(w), so slots partition cleanly by "both degrees fit 16 bits".
+        # When only a few hub vertices push max_deg past 2^16 (RMAT-20/21: ONE
+        # vertex, slot mass ~0.2-3%), the whole stream used to pay the
+        # 4-operand sort; now the lo-regime majority keeps the packed-pair
+        # 3-operand sort and the hi-regime minority rides a small 4-operand
+        # side plan (scored as an extra pass, merged like the hub sub-plan).
+        # LINKPRED_DEG_SPLIT=0 disables (A/B + exactness tests).
+        split_hi = None
+        if not deg16:
+            import os as _os
+
+            if _os.environ.get("LINKPRED_DEG_SPLIT", "1") != "0":
+                hi = (sudeg >= (1 << 16)) | (swdeg_k >= (1 << 16))
+                n_hi = int(np.count_nonzero(hi))
+                if n_hi == 0:
+                    # The oversized-degree vertices never appear in a live
+                    # pair (e.g. hubs whose candidates are all first-order):
+                    # the whole stream packs.
+                    pair = (sudeg.astype(np.uint32) << np.uint32(16)) \
+                        | swdeg_k.astype(np.uint32)
+                    sudeg, swdeg_k = pair.view(np.int32), None
+                    deg16 = True
+                elif n_hi < kept:
+                    lo = ~hi
+                    cnt_hi = np.bincount(su[hi], minlength=n).astype(np.int64)
+                    split_hi = (sw[hi], su[hi], sudeg[hi], swdeg_k[hi],
+                                smid[hi], cnt_hi)
+                    pair = (sudeg[lo].astype(np.uint32) << np.uint32(16)) \
+                        | swdeg_k[lo].astype(np.uint32)
+                    sw, su, smid = sw[lo], su[lo], smid[lo]
+                    sudeg, swdeg_k = pair.view(np.int32), None
+                    cnt_u = cnt_u.astype(np.int64) - cnt_hi
+                    kept -= n_hi
+                    deg16 = True  # the MAIN stream packs the degree pair now
+
+        (slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg, tile_slot_start,
+         num_tiles, total_slots) = _emit(sw, su, sudeg, swdeg_k, smid, cnt_u,
+                                         cap, deg16, pad_tiles_pow2)
+
+        if split_hi is not None:
+            hw, hu, hud, hwd, hmd, cnt_hi = split_hi
+            hi_total = int(hw.shape[0])
+            # Full side tiles: ~AUTO_CAP_TILES of them, but at least the
+            # largest per-source hi count (a source must fit one tile) and
+            # never above the main cap.
+            cap_h = int(min(cap, max(
+                _next_pow2(max(int(cnt_hi.max()), 1)),
+                _next_pow2(-(-hi_total // AUTO_CAP_TILES)))))
+            (zw, zu, zud, zwd, zmd, t_s, nt_h, tot_h) = _emit(
+                hw, hu, hud, hwd, hmd, cnt_hi, cap_h, False, False)
+            dummy1 = np.zeros(1, dtype=np.int32)
+            side_plan = TilePlan(
+                fe_work=dummy1, fe_adr=dummy1, fe_usrc=dummy1,
+                fe_middeg=dummy1, tile_edge_start=t_s.copy(), cap=cap_h,
+                num_tiles=nt_h, huge_src=np.empty(0, dtype=np.int64),
+                total_slots=tot_h, huge_slots=0, w_bits=w_bits,
+                upper_only=upper_only, deg16=False, keyed=keyed, packed=True,
+                slot_w=zw, slot_u=zu, slot_udeg=zud, slot_wdeg=zwd,
+                slot_middeg=zmd, tile_slot_start=t_s)
         # The edge-stream arrays are never read for packed plans: store
         # 1-element dummies (a packed RMAT-scale plan would otherwise pin four
         # ~m1-sized int32 arrays for nothing) and mirror the slot boundaries
@@ -566,6 +643,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         keyed=keyed,
         packed=packed,
         huge_plan=huge_plan,
+        side_plan=side_plan,
         host_src=host_src,
         slot_w=slot_w,
         slot_u=slot_u,

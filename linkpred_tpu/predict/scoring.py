@@ -428,6 +428,12 @@ def scan_tiles(
 
     # --- hierarchical: segments of `seg` tiles, selection per segment --------
     n_seg = -(-t_pad // seg)
+    # Balance the segments: 68 tiles split as 2x34, not 64+4 — a segment's
+    # selection sorts its FULL seg*cap lane buffer whether or not the tiles
+    # are real, so an unbalanced trailing segment pays a whole SEG_LANES-sized
+    # sort for mostly ghost lanes (measured: the s21 bench config, 68 tiles of
+    # 2^21, spent ~2x per-slot vs s20 exactly because of this).
+    seg = -(-t_pad // n_seg)
     pad = n_seg * seg - t_pad
     # padding tiles have start == end == 0 -> cond skips them
     ts = jnp.concatenate([tile_start, jnp.zeros((pad,), i32)]).reshape(n_seg, seg)

@@ -42,10 +42,15 @@ def test_deg16_high_degree_unpack():
     np.testing.assert_allclose(got[(H, A)], 10.0 / (40000 + 10 - 10), rtol=1e-5)
 
 
-def test_deg_above_16bit_disables_deg16():
-    # Degrees >= 2^16 cannot ride the packed (du << 16 | dw) payload; the plan
-    # must fall back to the 4-operand sort (the RMAT-20 regime) and the scores
-    # must stay exact.  Same topology as the deg16 test, scaled past 2^16.
+@pytest.mark.parametrize("split", [True, False])
+def test_deg_above_16bit_pairs(split, monkeypatch):
+    # Degrees >= 2^16 cannot ride the packed (du << 16 | dw) payload.  With
+    # the degree-regime split (default) the oversized pairs move to the
+    # 4-operand side plan and the main stream KEEPS deg16; with
+    # LINKPRED_DEG_SPLIT=0 the whole plan falls back to the 4-operand sort
+    # (the pre-round-3 RMAT-20 regime).  Scores must be exact either way.
+    if not split:
+        monkeypatch.setenv("LINKPRED_DEG_SPLIT", "0")
     n_leaves = 70000
     H, A = 0, 1
     leaves = np.arange(2, 2 + n_leaves)
@@ -55,8 +60,12 @@ def test_deg_above_16bit_disables_deg16():
                           leaves[:10], np.full(10, A)])
     g = from_edges(src, dst)
     plan = build_plan(g, 64, cap=1 << 17)
-    assert not plan.deg16, "deg(H) >= 2^16 must disable the deg16 pack"
     assert plan.packed
+    if split:
+        assert plan.deg16 and plan.side_plan is not None
+        assert not plan.side_plan.deg16
+    else:
+        assert not plan.deg16 and plan.side_plan is None
     res = predict_links(g, metric="jaccard_coefficient", min_degree1=64,
                         options=PredictOptions(max_edges=1000), plan=plan)
     got = {(int(u), int(v)): float(s)
