@@ -12,6 +12,13 @@ import os
 import time
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Touch the device BEFORE the long host-side plan build: the axon relay's
+# backend init fails if the first device use happens minutes after import.
+print("devices:", jax.devices(), jnp.zeros(1).block_until_ready().shape,
+      flush=True)
 
 from linkpred_tpu import PredictOptions, predict_links
 from linkpred_tpu.bench.synth import rmat_graph
@@ -51,7 +58,8 @@ print(f"n={y.n} m={y.m} max_deg={deg.max()} "
       flush=True)
 
 t0 = time.perf_counter()
-plan = build_plan(y, 64, cap=None)
+cap_env = os.environ.get("CAP")
+plan = build_plan(y, 64, cap=int(cap_env) if cap_env else None)
 print(f"plan build {time.perf_counter() - t0:.1f}s", flush=True)
 
 
@@ -72,6 +80,7 @@ describe(plan, "main")
 print(f"huge_src={plan.huge_src.size} huge_slots={plan.huge_slots:,} "
       f"host_src={plan.host_src.size}", flush=True)
 describe(plan.huge_plan, "huge_plan")
+describe(plan.side_plan, "side_plan")
 
 k = 1 << 20
 names = ("jaccard_coefficient",)
@@ -100,9 +109,11 @@ def run_pass(p, label):
 
 
 main_ms = run_pass(plan, "main pass")
-huge_ms = 0.0
+huge_ms = side_ms = 0.0
 if plan.huge_plan is not None:
     huge_ms = run_pass(plan.huge_plan, "huge pass")
+if plan.side_plan is not None:
+    side_ms = run_pass(plan.side_plan, "side pass")
 
 host_ms = 0.0
 if plan.host_src.size:
@@ -117,9 +128,10 @@ if plan.host_src.size:
     print(f"host pass: {host_ms:.1f} ms ({plan.host_src.size} sources)",
           flush=True)
 
-total = main_ms + huge_ms + host_ms
-all_slots = plan.total_slots + (plan.huge_plan.total_slots
-                                if plan.huge_plan is not None else 0)
+total = main_ms + huge_ms + side_ms + host_ms
+all_slots = (plan.total_slots
+             + (plan.huge_plan.total_slots if plan.huge_plan is not None else 0)
+             + (plan.side_plan.total_slots if plan.side_plan is not None else 0))
 print(f"TOTAL {total:.1f} ms; blended "
       f"{total * 1e6 / max(all_slots, 1):.2f} ns/slot over {all_slots:,} "
       f"device slots; rate = {y.m / (total / 1e3) / 1e6:.1f}M edges/s",
