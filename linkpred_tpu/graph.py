@@ -128,8 +128,10 @@ def from_edges(
     Replaces the reference's replay-all-edges + owner-computes parallel insert
     (`inc/mtx.hxx:179-186`, `inc/_openmp.hxx:16-33`) with a lexsort: sorting by
     (src, dst) both shards rows and orders neighbors in one O(m log m) pass.
-    Duplicate edges keep the first-seen weight (matching ``LazyBitset`` set
-    semantics, `inc/_bitset.hxx:245-262`).
+    Duplicate edges keep the LAST-seen weight — the reference's bitset commit
+    merges pending insertions with ``set_union_last_inplace``
+    (`inc/_bitset.hxx:258`), so a later ``addEdge`` of an existing pair
+    replaces its value.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -145,9 +147,11 @@ def from_edges(
     src, dst = src[order], dst[order]
     w = None if weights is None else np.asarray(weights, dtype=np.float32)[order]
     if dedup and src.size:
+        # keep the LAST duplicate (lexsort is stable, so the last-sorted entry
+        # of each (src, dst) group is the last-seen input edge)
         keep = np.empty(src.shape[0], dtype=bool)
-        keep[0] = True
-        np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+        keep[-1] = True
+        np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[:-1])
         src, dst = src[keep], dst[keep]
         if w is not None:
             w = w[keep]
@@ -167,11 +171,18 @@ def from_edges(
     return CSRGraph(offsets=offsets, indices=indices, degrees=degrees, weights=wpad, n=n, m=m)
 
 
-def edge_list(g: CSRGraph) -> tuple[np.ndarray, np.ndarray]:
-    """Directed (src, dst) int64 arrays (host)."""
+def edge_list(g: CSRGraph, with_weights: bool = False):
+    """Directed (src, dst) int64 arrays (host); with ``with_weights``, a
+    third element carries the per-edge float32 values (None if unweighted) —
+    the reference's update path flows edge values E alongside the keys
+    (`inc/update.hxx:130-150`)."""
     g = g.host()
     src = np.repeat(np.arange(g.n, dtype=np.int64), np.asarray(g.degrees, dtype=np.int64))
     dst = np.asarray(g.indices[: g.m], dtype=np.int64)
+    if with_weights:
+        w = (None if g.weights is None
+             else np.asarray(g.weights[: g.m], dtype=np.float32))
+        return src, dst, w
     return src, dst
 
 
@@ -213,12 +224,18 @@ class GraphBuilder:
 
     def update(self) -> CSRGraph:
         """Commit pending ops; removals win over prior edges, additions are
-        applied last (matching apply order of `batch.hxx:222-247`)."""
+        applied last with LAST-wins value semantics (apply order of
+        `batch.hxx:222-247`; value merge of `_bitset.hxx:258`
+        ``set_union_last_inplace`` — re-adding an existing pair replaces its
+        weight).  Weights flow through the rebuild like the reference's edge
+        values E (`update.hxx:130-150`); the result is weighted iff the base
+        was or any pending addition carries a non-default weight."""
         if self._base is not None:
-            src, dst = edge_list(self._base)
+            src, dst, w = edge_list(self._base, with_weights=True)
         else:
             src = np.empty(0, dtype=np.int64)
             dst = np.empty(0, dtype=np.int64)
+            w = None
         if self._rem:
             rem = np.asarray(self._rem, dtype=np.int64).reshape(-1, 2)
             hi = max(self._n, 1)
@@ -226,11 +243,19 @@ class GraphBuilder:
             rkeys = rem[:, 0] * hi + rem[:, 1]
             keep = ~np.isin(keys, rkeys)
             src, dst = src[keep], dst[keep]
+            if w is not None:
+                w = w[keep]
         if self._add:
             add = np.asarray([(u, v) for u, v, _ in self._add], dtype=np.int64)
+            addw = np.asarray([x for _, _, x in self._add], dtype=np.float32)
+            weighted = w is not None or bool(np.any(addw != 1.0))
+            if weighted:
+                base_w = w if w is not None \
+                    else np.ones(src.shape[0], dtype=np.float32)
+                w = np.concatenate([base_w, addw])
             src = np.concatenate([src, add[:, 0]])
             dst = np.concatenate([dst, add[:, 1]])
-        g = from_edges(src, dst, n=self._n)
+        g = from_edges(src, dst, n=self._n, weights=w)
         self._base, self._add, self._rem = g, [], []
         return g
 

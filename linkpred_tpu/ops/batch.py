@@ -131,21 +131,37 @@ def tidy_batch(
 
 def apply_batch(
     g: CSRGraph, deletions: np.ndarray, insertions: np.ndarray,
+    insertion_weights: Optional[np.ndarray] = None,
 ) -> CSRGraph:
     """Functional batch update: remove then add, returning a new graph
     (batch.hxx:222-247; the LazyBitset deferred-commit machinery collapses into one
-    sort-based rebuild, SURVEY.md §7)."""
-    src, dst = edge_list(g)
+    sort-based rebuild, SURVEY.md §7).
+
+    Edge weights flow through like the reference's edge values E
+    (`update.hxx:130-150`): surviving edges keep theirs, insertions take
+    ``insertion_weights`` (default 1.0, the reference driver's ``V(1)``), and
+    re-inserting an existing pair replaces its value (``_bitset.hxx:258``
+    set-union-LAST semantics, via ``from_edges``' last-wins dedup)."""
+    src, dst, w = edge_list(g, with_weights=True)
     if deletions.shape[0]:
         # mark deletions via membership in sorted edge ids
         keys = src * g.n + dst
         dkeys = deletions[:, 0] * g.n + deletions[:, 1]
         keep = ~np.isin(keys, dkeys)
         src, dst = src[keep], dst[keep]
+        if w is not None:
+            w = w[keep]
     if insertions.shape[0]:
+        if w is not None or insertion_weights is not None:
+            base_w = w if w is not None \
+                else np.ones(src.shape[0], dtype=np.float32)
+            ins_w = (np.asarray(insertion_weights, dtype=np.float32)
+                     if insertion_weights is not None
+                     else np.ones(insertions.shape[0], dtype=np.float32))
+            w = np.concatenate([base_w, ins_w])
         src = np.concatenate([src, insertions[:, 0]])
         dst = np.concatenate([dst, insertions[:, 1]])
-    return from_edges(src, dst, n=g.n)
+    return from_edges(src, dst, n=g.n, weights=w)
 
 
 def generate_edge_deletions_device(

@@ -185,3 +185,61 @@ def test_profiling_summarize(tmp_path):
     top = summarize_trace(str(tmp_path))
     assert top[0] == ("sort.1", 8.0)
     assert top[1] == ("fusion", 1.0)
+
+
+def _weight_of(g, u, v):
+    g = g.host()
+    off = int(np.asarray(g.offsets)[u])
+    row = np.asarray(g.indices[off: off + int(np.asarray(g.degrees)[u])])
+    pos = np.searchsorted(row, v)
+    assert pos < row.shape[0] and row[pos] == v, f"edge ({u},{v}) missing"
+    return float(np.asarray(g.weights)[off + pos])
+
+
+def test_from_edges_duplicate_weight_last_wins():
+    # the reference's bitset commit merges pending insertions with
+    # set_union_last_inplace (_bitset.hxx:258): later addEdge replaces value
+    g = from_edges([0, 0, 1], [1, 1, 2], n=3, weights=[2.5, 7.0, 1.0])
+    assert g.m == 2
+    assert _weight_of(g, 0, 1) == 7.0
+
+
+def test_graph_builder_weighted_update_roundtrip():
+    from linkpred_tpu.graph import GraphBuilder
+
+    base = from_edges([0, 1, 1, 2], [1, 0, 2, 1], n=4,
+                      weights=[3.0, 3.0, 5.0, 5.0])
+    b = GraphBuilder(base)
+    b.remove_edge(1, 2).remove_edge(2, 1)
+    b.add_edge(2, 3, 9.0).add_edge(3, 2, 9.0)
+    b.add_edge(0, 1, 4.5)  # re-add existing pair: value replaced (union-last)
+    g = b.update()
+    assert g.weights is not None
+    assert _weight_of(g, 0, 1) == 4.5       # replaced
+    assert _weight_of(g, 1, 0) == 3.0       # untouched survivor
+    assert _weight_of(g, 2, 3) == 9.0       # insertion
+    assert not g.has_edge(1, 2)
+    # a second update cycle keeps flowing values through the rebuild
+    g2 = GraphBuilder(g).add_edge(1, 2, 6.0).update()
+    assert _weight_of(g2, 1, 2) == 6.0 and _weight_of(g2, 0, 1) == 4.5
+
+
+def test_apply_batch_preserves_weights():
+    from linkpred_tpu.ops.batch import apply_batch
+
+    g = from_edges([0, 1, 1, 2, 2, 3], [1, 0, 2, 1, 3, 2], n=5,
+                   weights=[1.5, 1.5, 2.5, 2.5, 3.5, 3.5])
+    deletions = np.array([[2, 3], [3, 2]], dtype=np.int64)
+    insertions = np.array([[3, 4], [4, 3], [0, 1]], dtype=np.int64)
+    y = apply_batch(g, deletions, insertions,
+                    insertion_weights=np.array([8.0, 8.0, 0.25]))
+    assert y.weights is not None
+    assert not y.has_edge(2, 3)
+    assert _weight_of(y, 1, 2) == 2.5        # survivor keeps its value
+    assert _weight_of(y, 3, 4) == 8.0        # insertion takes its value
+    assert _weight_of(y, 0, 1) == 0.25       # re-insert replaces (union-last)
+    # unweighted graphs stay unweighted through a default batch cycle
+    gu = from_edges([0, 1], [1, 0], n=3)
+    yu = apply_batch(gu, np.empty((0, 2), np.int64),
+                     np.array([[1, 2], [2, 1]], dtype=np.int64))
+    assert yu.weights is None
