@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unfused", action="store_true",
                    help="score each metric as its own full pass (honest "
                         "per-technique times, like the reference's per-metric "
-                        "scans; default shares one pass and amortizes)")
+                        "scans; default shares one pass, amortizes the time, "
+                        "and tags those rows ...TpuFused<deg> in the log)")
     return p
 
 
