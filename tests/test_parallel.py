@@ -84,10 +84,11 @@ def test_stream_sharding_distributes_memory(rng, mesh8):
     assert len(res) == 100 and np.isfinite(res.score).all()
 
 
-def test_multihost_dcn_simulation():
-    # 2 coordinated processes (jax.distributed over localhost): stream-sharded
-    # scoring must reproduce the single-host result exactly.  The 8-process
-    # variant runs as examples/multihost_sim/run.py 8.
+@pytest.mark.parametrize("nprocs", [2, 8])
+def test_multihost_dcn_simulation(nprocs):
+    # N coordinated processes (jax.distributed over localhost): stream-sharded
+    # scoring must reproduce the single-host result exactly.  N=8 matches the
+    # virtual-mesh device count used everywhere else in this suite.
     import os
     import subprocess
     import sys
@@ -96,8 +97,8 @@ def test_multihost_dcn_simulation():
                           "multihost_sim", "run.py")
     env = dict(os.environ)
     env.pop("MHS_RANK", None)
-    r = subprocess.run([sys.executable, script, "2"], env=env, timeout=560,
-                       capture_output=True, text=True)
+    r = subprocess.run([sys.executable, script, str(nprocs)], env=env,
+                       timeout=560, capture_output=True, text=True)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
 
 
