@@ -37,12 +37,24 @@ sizes) — the analog of the reference's template instantiation.
 """
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Experimental 64-bit-key engine (requires JAX_ENABLE_X64=1): the tile sort
+# packs (w, src) into ONE u64 key — 2 sort operands instead of 3 (deg16) or
+# packs the degree pair into a u64 payload — 2 instead of 4 (wide degrees) —
+# and the deferred selection packs (score key, lane index) into ONE u64
+# operand instead of 2.  Grouping by the composite key makes sort stability
+# unnecessary (intra-run payload order is irrelevant: degrees are constant
+# within a run and the AA/RA weights are summed).  Measured on v5e: operand
+# COUNT dominates lax.sort cost (3x u32 -> 2x u32 is -26%); whether XLA's
+# emulated u64 compare keeps that win is what this flag A/Bs.
+_KEY64 = _os.environ.get("LINKPRED_KEY64", "0") == "1"
 
 from ..graph import CSRGraph
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
@@ -105,7 +117,35 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
 
-    if deg16:
+    if _KEY64:
+        # One u64 key carries (w, upay): grouping is BY THE KEY, so the sort
+        # needs no stability (payloads within a run are a constant degree pack
+        # or summed weights), and the killer flag in upay's low bit keeps
+        # killers first within their run by VALUE rather than by stream order.
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError("LINKPRED_KEY64=1 requires JAX_ENABLE_X64=1")
+        u64 = jnp.uint64
+        m32 = u64(0xFFFFFFFF)
+        # zero-extend via uint32 (pad lanes may carry junk; int32 sign
+        # extension would smear high bits into the w field)
+        key64 = (key.astype(jnp.uint32).astype(u64) << u64(32)) \
+            | upay.astype(jnp.uint32).astype(u64)
+        if deg16:
+            dpack = udeg if predpacked else ((udeg << 16) | wdeg)
+            key64, dpack, *wts = jax.lax.sort(
+                (key64, dpack, *wts), num_keys=1, is_stable=False)
+            udeg = (dpack >> 16) & 0xFFFF
+            wdeg = dpack & 0xFFFF
+        else:
+            dpack64 = (udeg.astype(jnp.uint32).astype(u64) << u64(32)) \
+                | wdeg.astype(jnp.uint32).astype(u64)
+            key64, dpack64, *wts = jax.lax.sort(
+                (key64, dpack64, *wts), num_keys=1, is_stable=False)
+            udeg = (dpack64 >> u64(32)).astype(i32)
+            wdeg = (dpack64 & m32).astype(i32)
+        upay = (key64 & m32).astype(i32)
+        key = (key64 >> u64(32)).astype(i32)
+    elif deg16:
         dpack = udeg if predpacked else ((udeg << 16) | wdeg)
         key, upay, dpack, *wts = jax.lax.sort(
             (key, upay, dpack, *wts), num_keys=1, is_stable=True)
@@ -347,6 +387,23 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
         key = _desc_score_key(flat)
+        if _KEY64:
+            # ONE u64 operand: (score key << 32 | lane index).  Every lane's
+            # key is unique, so the duplicate-mass spread below is moot and
+            # the sort drops from 2 operands to 1.
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "LINKPRED_KEY64=1 requires JAX_ENABLE_X64=1")
+            u64 = jnp.uint64
+            key64 = (key.astype(u64) << u64(32)) \
+                | iota.astype(jnp.uint32).astype(u64)
+            (skey64,) = jax.lax.sort((key64,), num_keys=1, is_stable=False)
+            top = (skey64[:kk] & u64(0xFFFFFFFF)).astype(i32)
+            dec = _desc_key_score((skey64[:kk] >> u64(32)).astype(jnp.uint32))
+            out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
+            out_u.append(us[top])
+            out_v.append(vs[top])
+            continue
         # Spread the invalid lanes' keys by lane index: most lanes are -inf
         # (non-run-end slots + ghost tiles) and a constant duplicate mass
         # degrades XLA's sort badly (measured 4.6 vs 2.5 ms per 2^20 here).
