@@ -374,8 +374,64 @@ def _desc_key_score(key):
 SEG_LANES = 1 << 27
 
 
+# Block bound for ONE selection sort.  lax.sort's per-lane cost grows
+# super-linearly on v5e (measured in-jit, 2-operand unstable: 0.72 ns/lane at
+# 2^21 -> 1.35 at 2^23 -> 2.45 at 2^25 -> 2.76 at 2^26), so a 2^26-lane chunk
+# selection pays ~4x the small-sort floor.  _argselect_blocked sorts per
+# SEL_BLOCK-lane block and recurses on the per-block winners instead; lane
+# indices ride as sort payload through the levels, so nothing is gathered
+# until the caller fetches the final top-k.  Set LINKPRED_SEL_BLOCK=0 to
+# restore the single flat sort (A/B + regression tests).
+_SEL_BLOCK = int(_os.environ.get("LINKPRED_SEL_BLOCK", str(1 << 23)) or "0")
+
+
+def _argselect_blocked(key, idx, kk: int):
+    """Top-``kk`` (ascending) of ``key``: per-block sorts + recursion on block
+    winners.  Returns the fully sorted last level ``(keys, lane indices)`` —
+    the caller slices ``[:kk]``.  ``idx=None`` => 1-operand sorts (the lane
+    identity lives inside a composite key); then the second return is None.
+    Exact: a global top-kk element is inside its block's top-min(kk, B)."""
+    block = _SEL_BLOCK
+    total = key.shape[0]
+    pad_key = jnp.array(jnp.iinfo(key.dtype).max, key.dtype)
+
+    while block and total > block \
+            and -(-total // block) * min(kk, block) < total:
+        nb = -(-total // block)
+        kb = min(kk, block)
+        pad = nb * block - total
+        if pad:
+            # pad keys sort after every real lane (dtype max >= the -inf
+            # key); a pad lane can only surface when a block has fewer than
+            # kb real lanes, and then it decodes to -inf — the TopK
+            # contract's empty sentinel, same as a ghost-tile lane today
+            key = jnp.concatenate([key, jnp.full((pad,), pad_key, key.dtype)])
+            if idx is not None:
+                idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+
+        if idx is None:
+            def body1(carry, kb_):
+                (sk,) = jax.lax.sort((kb_,), num_keys=1, is_stable=False)
+                return carry, sk[:kb]
+            _, keys = jax.lax.scan(body1, 0, key.reshape(nb, block))
+            key = keys.reshape(-1)
+        else:
+            def body2(carry, kb_ib):
+                sk, si = jax.lax.sort(kb_ib, num_keys=1, is_stable=False)
+                return carry, (sk[:kb], si[:kb])
+            _, (keys, idxs) = jax.lax.scan(
+                body2, 0, (key.reshape(nb, block), idx.reshape(nb, block)))
+            key, idx = keys.reshape(-1), idxs.reshape(-1)
+        total = nb * kb
+
+    if idx is None:
+        (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        return skey, None
+    return jax.lax.sort((key, idx), num_keys=1, is_stable=False)
+
+
 def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
-    """One deferred-selection pass: descending single-key sort per metric over
+    """One deferred-selection pass: descending blocked key sort per metric over
     the flattened lanes; returns [M, k]."""
     i32 = jnp.int32
     total = scores.shape[0] * scores.shape[-1]
@@ -390,14 +446,15 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
         if _KEY64:
             # ONE u64 operand: (score key << 32 | lane index).  Every lane's
             # key is unique, so the duplicate-mass spread below is moot and
-            # the sort drops from 2 operands to 1.
+            # the per-block sort drops to 1 operand (the lane index IS the
+            # low key half — no payload).
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
                     "LINKPRED_KEY64=1 requires JAX_ENABLE_X64=1")
             u64 = jnp.uint64
             key64 = (key.astype(u64) << u64(32)) \
                 | iota.astype(jnp.uint32).astype(u64)
-            (skey64,) = jax.lax.sort((key64,), num_keys=1, is_stable=False)
+            skey64, _ = _argselect_blocked(key64, None, kk)
             top = (skey64[:kk] & u64(0xFFFFFFFF)).astype(i32)
             dec = _desc_key_score((skey64[:kk] >> u64(32)).astype(jnp.uint32))
             out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
@@ -410,10 +467,9 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
         # key(-inf) = 0xFF800000 strictly exceeds every finite score's key, so
         # OR-ing low bits keeps invalid lanes after all real candidates.
         key = jnp.where(jnp.isneginf(flat),
-                        key | (iota & jnp.int32(0xFFFFF)).astype(jnp.uint32),
+                        key | (iota & jnp.int32(0x7FFFFF)).astype(jnp.uint32),
                         key)
-        skey, idx = jax.lax.sort((key, iota), num_keys=1,
-                                 is_stable=False)
+        skey, idx = _argselect_blocked(key, iota, kk)
         top = idx[:kk]
         dec = _desc_key_score(skey[:kk])
         # spread invalid-lane keys decode to NaN (0xFF80xxxx); restore the
