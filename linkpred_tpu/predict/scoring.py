@@ -365,13 +365,16 @@ def _desc_key_score(key):
 
 
 # Lane bound for one deferred-selection segment: raw (scores, u, v) tile output
-# is buffered in HBM up to this many lanes (2^27 lanes = 1.6 GB at one metric)
+# is buffered in HBM up to this many lanes (2^28 lanes = 3.2 GB at one metric)
 # before a selection pass runs.  Plans whose t_pad * cap fits a single segment
-# (every LHub bench config) take the one-pass path unchanged; bigger scans
-# (IHub-scale: hundreds of tiles) select hierarchically — without this, a
-# 552M-slot IHub scan buffered 6.6 GB + sort workspace and took the device down
-# with an HBM OOM.
-SEG_LANES = 1 << 27
+# take the one-pass path; bigger scans (IHub-scale: hundreds of tiles) select
+# hierarchically — without this, a 552M-slot IHub scan buffered 6.6 GB + sort
+# workspace and took the device down with an HBM OOM.  The bound moved
+# 2^27 -> 2^28 once selection went BLOCKED (_argselect_blocked): its sort
+# workspace is per-2^23-block instead of per-segment, and one segment at s21
+# (142.6M lanes) saves a segment merge + half the final u/v gathers
+# (measured: 11.8 ns per gathered element — 35 ms per 2.95M-row fetch).
+SEG_LANES = int(_os.environ.get("LINKPRED_SEG_LANES", str(1 << 28)))
 
 
 # Block bound for ONE selection sort.  lax.sort's per-lane cost grows
@@ -443,24 +446,11 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
         key = _desc_score_key(flat)
-        if _KEY64:
-            # ONE u64 operand: (score key << 32 | lane index).  Every lane's
-            # key is unique, so the duplicate-mass spread below is moot and
-            # the per-block sort drops to 1 operand (the lane index IS the
-            # low key half — no payload).
-            if not jax.config.jax_enable_x64:
-                raise RuntimeError(
-                    "LINKPRED_KEY64=1 requires JAX_ENABLE_X64=1")
-            u64 = jnp.uint64
-            key64 = (key.astype(u64) << u64(32)) \
-                | iota.astype(jnp.uint32).astype(u64)
-            skey64, _ = _argselect_blocked(key64, None, kk)
-            top = (skey64[:kk] & u64(0xFFFFFFFF)).astype(i32)
-            dec = _desc_key_score((skey64[:kk] >> u64(32)).astype(jnp.uint32))
-            out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
-            out_u.append(us[top])
-            out_v.append(vs[top])
-            continue
+        # NOTE: selection stays (u32 key, i32 index) in BOTH engine modes.
+        # The u64-packed single-operand variant (key << 32 | lane) was
+        # measured SLOWER once selection went blocked (s21 trace: 274 ms vs
+        # 232 for the u32 pair) — emulated-u64 compares beat a second
+        # operand only on flat multi-2^23-lane sorts, which no longer exist.
         # Spread the invalid lanes' keys by lane index: most lanes are -inf
         # (non-run-end slots + ghost tiles) and a constant duplicate mass
         # degrades XLA's sort badly (measured 4.6 vs 2.5 ms per 2^20 here).
