@@ -54,6 +54,14 @@ def main() -> int:
             print("bench: TPU not ready; waiting 120s", file=sys.stderr)
             time.sleep(120)
         env = dict(os.environ, BENCH_INNER="1")
+        # The bench runs the engine in its fastest exactness-tested mode: the
+        # u64-key tile sort (LINKPRED_KEY64 — oracle-tested across the full
+        # suite, tests/test_key64.py).  Measured on v5e: s19 136.5 -> 149.9M,
+        # s21 55.8 -> 58.9M edges/s vs the default u32 engine.  Override with
+        # BENCH_KEY64=0 to bench the default mode.
+        if os.environ.get("BENCH_KEY64", "1") == "1":
+            env.setdefault("LINKPRED_KEY64", "1")
+            env.setdefault("JAX_ENABLE_X64", "1")
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
         if r.returncode == 0:
             return 0

@@ -82,7 +82,7 @@ print(f"huge_src={plan.huge_src.size} huge_slots={plan.huge_slots:,} "
 describe(plan.huge_plan, "huge_plan")
 describe(plan.side_plan, "side_plan")
 
-k = 1 << 20
+k = int(os.environ.get("DIAG_K", str(1 << 20)))
 names = ("jaccard_coefficient",)
 gd = y.device()
 import jax.numpy as jnp
@@ -127,6 +127,21 @@ if plan.host_src.size:
     host_ms = (time.perf_counter() - t0) * 1e3
     print(f"host pass: {host_ms:.1f} ms ({plan.host_src.size} sources)",
           flush=True)
+
+if os.environ.get("DIAG_TRACE") == "1":
+    # per-op device table of ONE main-pass run (the r2 bottleneck-finder)
+    from linkpred_tpu.utils.profiling import summarize_trace, trace
+
+    stream, tile_start = plan.device_stream()
+    kwargs = dict(metric_names=names, cap=plan.cap, k=k, maxf2=0,
+                  w_bits=plan.w_bits if plan.keyed else 0, packed=plan.packed,
+                  deg16=plan.deg16, upper_only=plan.upper_only,
+                  chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES)
+    with trace() as d:
+        score_tiles_chunked(gd.indices, gd.degrees, stream, tile_start,
+                            min_score, **kwargs)
+    for name, ms in summarize_trace(d, top=30):
+        print(f"  {ms:10.1f} ms  {name}", flush=True)
 
 total = main_ms + huge_ms + side_ms + host_ms
 all_slots = (plan.total_slots
