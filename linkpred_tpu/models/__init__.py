@@ -4,7 +4,9 @@ from .gnn import (
     GNNPredictor,
     HybridPredictor,
     sage_encode,
+    sage_encode_sampled,
     sage_init,
+    sample_neighbors,
     sddmm_scores,
     train_sage,
 )
@@ -12,5 +14,6 @@ from .gnn import (
 __all__ = [
     "HeuristicPredictor", "IHub", "LHub", "all_models",
     "GNNPredictor", "HybridPredictor",
-    "sage_init", "sage_encode", "sddmm_scores", "train_sage",
+    "sage_init", "sage_encode", "sage_encode_sampled", "sample_neighbors",
+    "sddmm_scores", "train_sage",
 ]
