@@ -52,6 +52,7 @@ sits outside the timed scoring path (like the reference's hashtable allocation,
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -67,7 +68,9 @@ KILL = -(1 << 30)
 
 # Default ceiling on precomputed slots (packed path): 2**28 slots ≈ 3 GB host +
 # device for the three int32 arrays. Beyond this, fall back to the edge stream.
-SLOT_BUDGET = 1 << 28
+# Env-tunable (LINKPRED_SLOT_BUDGET): RMAT-23-scale LHub expansions (~575M
+# slots, ~9 GB of stream on a 16 GB v5e) still fit the packed path when raised.
+SLOT_BUDGET = int(os.environ.get("LINKPRED_SLOT_BUDGET", str(1 << 28)))
 
 # A huge-hub sub-plan puts one source's whole expansion in ONE tile; beyond
 # this many slots the deferred selection cannot bound its raw buffer (a single
