@@ -145,7 +145,8 @@ def train_sage(
     fanouts: Optional[tuple] = None,
 ):
     """Self-supervised training: observed edges positive, uniform pairs negative,
-    logistic loss on the SDDMM dot score. Returns (params, feats).
+    logistic loss on the SDDMM dot score.
+    Returns ``(params, feats, final_loss)``.
 
     ``fanouts=(F2, F1)`` switches to neighbor-sampled MINIBATCH training
     (`sage_encode_sampled`): each step encodes only the batch's endpoint

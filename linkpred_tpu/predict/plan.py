@@ -530,9 +530,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
         # LINKPRED_DEG_SPLIT=0 disables (A/B + exactness tests).
         split_hi = None
         if not deg16:
-            import os as _os
-
-            if _os.environ.get("LINKPRED_DEG_SPLIT", "1") != "0":
+            if os.environ.get("LINKPRED_DEG_SPLIT", "1") != "0":
                 hi = (sudeg >= (1 << 16)) | (swdeg_k >= (1 << 16))
                 n_hi = int(np.count_nonzero(hi))
                 if n_hi == 0:
@@ -553,7 +551,6 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
                     sw, su, smid = sw[lo], su[lo], smid[lo]
                     sudeg, swdeg_k = pair.view(np.int32), None
                     cnt_u = cnt_u.astype(np.int64) - cnt_hi
-                    kept -= n_hi
                     deg16 = True  # the MAIN stream packs the degree pair now
 
         (slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg, tile_slot_start,

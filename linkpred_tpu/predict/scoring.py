@@ -391,8 +391,7 @@ _SEL_BLOCK = int(_os.environ.get("LINKPRED_SEL_BLOCK", str(1 << 23)) or "0")
 def _argselect_blocked(key, idx, kk: int):
     """Top-``kk`` (ascending) of ``key``: per-block sorts + recursion on block
     winners.  Returns the fully sorted last level ``(keys, lane indices)`` —
-    the caller slices ``[:kk]``.  ``idx=None`` => 1-operand sorts (the lane
-    identity lives inside a composite key); then the second return is None.
+    the caller slices ``[:kk]``.
     Exact: a global top-kk element is inside its block's top-min(kk, B)."""
     block = _SEL_BLOCK
     total = key.shape[0]
@@ -409,27 +408,17 @@ def _argselect_blocked(key, idx, kk: int):
             # kb real lanes, and then it decodes to -inf — the TopK
             # contract's empty sentinel, same as a ghost-tile lane today
             key = jnp.concatenate([key, jnp.full((pad,), pad_key, key.dtype)])
-            if idx is not None:
-                idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
 
-        if idx is None:
-            def body1(carry, kb_):
-                (sk,) = jax.lax.sort((kb_,), num_keys=1, is_stable=False)
-                return carry, sk[:kb]
-            _, keys = jax.lax.scan(body1, 0, key.reshape(nb, block))
-            key = keys.reshape(-1)
-        else:
-            def body2(carry, kb_ib):
-                sk, si = jax.lax.sort(kb_ib, num_keys=1, is_stable=False)
-                return carry, (sk[:kb], si[:kb])
-            _, (keys, idxs) = jax.lax.scan(
-                body2, 0, (key.reshape(nb, block), idx.reshape(nb, block)))
-            key, idx = keys.reshape(-1), idxs.reshape(-1)
+        def body(carry, kb_ib):
+            sk, si = jax.lax.sort(kb_ib, num_keys=1, is_stable=False)
+            return carry, (sk[:kb], si[:kb])
+
+        _, (keys, idxs) = jax.lax.scan(
+            body, 0, (key.reshape(nb, block), idx.reshape(nb, block)))
+        key, idx = keys.reshape(-1), idxs.reshape(-1)
         total = nb * kb
 
-    if idx is None:
-        (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-        return skey, None
     return jax.lax.sort((key, idx), num_keys=1, is_stable=False)
 
 
@@ -508,7 +497,13 @@ def scan_tiles(
     """
     i32 = jnp.int32
     t_pad = tile_start.shape[0]
-    seg = max(1, SEG_LANES // cap)
+    # The raw buffer costs (4*M + 8) bytes/lane (scores per metric + u + v);
+    # SEG_LANES is calibrated for ONE metric (12 B/lane), so scale the lane
+    # bound down for multi-metric passes — a fused 9-metric scan at the
+    # single-metric bound would buffer ~3.7x the budget and OOM exactly the
+    # way the pre-segmentation engine did.
+    seg_lanes = max(cap, SEG_LANES * 12 // (4 * num_metrics + 8))
+    seg = max(1, seg_lanes // cap)
 
     def empty(*_):
         return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
@@ -719,7 +714,7 @@ def score_huge_sources_host_multi(
             s = m.score(nuv_all, acc, du, dws_all, xp=np).astype(np.float32)
             keep = s > min_score
             if maxf2:
-                keep &= (du <= maxf2 * du) & (dws <= maxf2 * du)
+                keep &= (du <= maxf2 * du) & (dws_all <= maxf2 * du)
             ws, s = ws[keep], s[keep]
             if k is not None and s.shape[0] > k:
                 top = np.argpartition(-s, k - 1)[:k]

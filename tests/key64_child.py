@@ -7,7 +7,9 @@ Covers every sort the flag rewires:
     a >=2^16-degree hub with the degree-regime split disabled)
   * edge-stream killer sort      (killer flag ordered by key VALUE, not by
     stream order + stability)
-  * 1-operand u64 deferred selection (all of the above select through it)
+Selection is the shared u32 (key, index) blocked path in both engine modes
+(the u64 single-operand variant measured slower once blocked and was
+removed); the parent shrinks LINKPRED_SEL_BLOCK so it runs multi-level here.
 """
 import os
 import sys

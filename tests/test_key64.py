@@ -15,7 +15,7 @@ def test_key64_engine_oracle_exact():
                LINKPRED_KEY64="1",
                JAX_ENABLE_X64="1",
                LINKPRED_DEG_SPLIT="0",
-               LINKPRED_SEL_BLOCK="4096",  # key64 1-operand BLOCKED selection
+               LINKPRED_SEL_BLOCK="4096",  # multi-level blocked selection
                JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # single CPU device is plenty
     r = subprocess.run([sys.executable, child], env=env, timeout=560,

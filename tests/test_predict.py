@@ -189,6 +189,26 @@ def test_maxfactor2_quirk_parity(rng):
         assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
 
 
+def test_maxfactor2_host_scorer(rng):
+    # Regression: the host mega-hub scorer's maxf2 filter referenced a
+    # variable deleted in the single-source-of-truth metrics refactor
+    # (NameError on any maxf2 != 0 run that hits the host path).
+    from linkpred_tpu.predict.metrics import get_metric
+    from linkpred_tpu.predict.scoring import score_huge_sources_host
+
+    g = powerlaw_graph(rng, n=250, m=1800)
+    hubs = np.argsort(np.asarray(g.degrees))[-3:].astype(np.int64)
+    hs, hu, hv = score_huge_sources_host(
+        g, hubs, get_metric("common_neighbors"), 0, 1, 0.0)
+    deg = np.asarray(g.degrees)
+    assert hs.size > 0
+    # the reference's self-compare quirk: keeps pairs with deg(w) <= deg(u)
+    assert np.all(deg[hv] <= deg[hu])
+    pairs = oracle_scores(g, "common_neighbors", 0, max_factor2=1)
+    for s, u, v in zip(hs, hu, hv):
+        assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
+
+
 def test_source_restricted_prediction(rng):
     # serving mode: predictions only for the requested sources, over ALL
     # second-order neighbors (directed candidates)

@@ -73,8 +73,5 @@ def test_argselect_blocked_unit(rng):
             np.testing.assert_array_equal(np.asarray(sk)[:kk], ref)
             np.testing.assert_array_equal(
                 np.asarray(keys)[np.asarray(si)[:kk]], np.asarray(sk)[:kk])
-            sk1, none = scoring._argselect_blocked(keys, None, kk)
-            assert none is None
-            np.testing.assert_array_equal(np.asarray(sk1)[:kk], ref)
     finally:
         scoring._SEL_BLOCK = old
