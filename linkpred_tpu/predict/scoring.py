@@ -431,20 +431,15 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
     vs = vs.reshape(total)
     kk = min(k, total)
     iota = jax.lax.broadcasted_iota(i32, (total,), 0)
-    if _KEY64:
-        # The (u, v) PAIR rides the selection sorts as one u64 payload, so
-        # the winners decode elementwise and the per-metric `us[top]`/
-        # `vs[top]` random gathers disappear (measured 11.8 ns/element —
-        # 65 ms at the s21 bench k).  Counter-intuitively the u64 payload
-        # also sorts FASTER than the i32 lane index (12.0 vs 13.4 ms per
-        # 2^23-lane block, measured in-jit).
-        u64 = jnp.uint64
-        uv = (us.astype(jnp.uint32).astype(u64) << u64(32)) \
-            | vs.astype(jnp.uint32).astype(u64)
     out_s, out_u, out_v = [], [], []
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
         key = _desc_score_key(flat)
+        # NOTE: selection stays (u32 key, i32 index) in BOTH engine modes.
+        # The u64-packed single-operand variant (key << 32 | lane) was
+        # measured SLOWER once selection went blocked (s21 trace: 274 ms vs
+        # 232 for the u32 pair) — emulated-u64 compares beat a second
+        # operand only on flat multi-2^23-lane sorts, which no longer exist.
         # Spread the invalid lanes' keys by lane index: most lanes are -inf
         # (non-run-end slots + ghost tiles) and a constant duplicate mass
         # degrades XLA's sort badly (measured 4.6 vs 2.5 ms per 2^20 here).
@@ -453,17 +448,6 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
         key = jnp.where(jnp.isneginf(flat),
                         key | (iota & jnp.int32(0x7FFFFF)).astype(jnp.uint32),
                         key)
-        if _KEY64:
-            skey, suv = _argselect_blocked(key, uv, kk)
-            dec = _desc_key_score(skey[:kk])
-            out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
-            top_uv = suv[:kk]
-            out_u.append((top_uv >> u64(32)).astype(i32))
-            out_v.append((top_uv & u64(0xFFFFFFFF)).astype(i32))
-            continue
-        # NOTE: the single-operand u64 (key << 32 | lane) variant was
-        # measured SLOWER once selection went blocked (s21 trace: 274 ms vs
-        # 232 for the u32 pair) — only the payload PACKING above survives.
         skey, idx = _argselect_blocked(key, iota, kk)
         top = idx[:kk]
         dec = _desc_key_score(skey[:kk])
