@@ -519,9 +519,14 @@ def scan_tiles(
             out = stream_fn(t_start, t_end)
         return carry, out
 
+    # unroll>1 exposes consecutive tile bodies to XLA for software
+    # pipelining (window DMAs of tile i+1 can overlap tile i's sort);
+    # LINKPRED_SCAN_UNROLL A/Bs it — compile time scales with the factor.
+    unroll = int(_os.environ.get("LINKPRED_SCAN_UNROLL", "1"))
+
     if t_pad <= seg:
         _, (scores, us, vs) = jax.lax.scan(
-            body, 0, (tile_start, tile_end))
+            body, 0, (tile_start, tile_end), unroll=unroll)
         return _select_topk(scores, us, vs, k, num_metrics)
 
     # --- hierarchical: segments of `seg` tiles, selection per segment --------
@@ -540,7 +545,8 @@ def scan_tiles(
 
     def seg_body(carry, bounds):
         s_ts, s_te = bounds
-        _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te))
+        _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te),
+                                           unroll=unroll)
         return carry, _select_topk(scores, us, vs, kk, num_metrics)
 
     _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
