@@ -415,7 +415,8 @@ def _argselect_blocked(key, idx, kk: int):
             return carry, (sk[:kb], si[:kb])
 
         _, (keys, idxs) = jax.lax.scan(
-            body, 0, (key.reshape(nb, block), idx.reshape(nb, block)))
+            body, 0, (key.reshape(nb, block), idx.reshape(nb, block)),
+            unroll=int(_os.environ.get("LINKPRED_SEL_UNROLL", "1")))
         key, idx = keys.reshape(-1), idxs.reshape(-1)
         total = nb * kb
 
