@@ -58,6 +58,35 @@ def test_blocked_matches_flat(rng, monkeypatch):
                                rtol=1e-6)
 
 
+def test_blocked_selection_fuzz(rng):
+    # Randomized net: random graph/cap/k/block-size combinations, blocked
+    # result must match the flat (block=0) sort exactly (score multisets;
+    # ties may resolve to different pairs).
+    for trial in range(5):
+        n = int(rng.integers(60, 220))
+        g = random_graph(rng, n=n, avg_deg=float(rng.uniform(3, 9)),
+                         seed_extra=trial)
+        cap = int(rng.integers(256, 2048))
+        k = int(rng.integers(1, 4000))
+        metric = ("common_neighbors", "jaccard_coefficient",
+                  "adamic_adar")[trial % 3]
+        kwargs = dict(metric=metric, min_degree1=int(rng.integers(0, 12)),
+                      options=PredictOptions(max_edges=k), cap=cap)
+        old = scoring._SEL_BLOCK
+        try:
+            scoring._SEL_BLOCK = 0
+            flat = predict_links(g, **kwargs)
+            scoring._SEL_BLOCK = int(rng.integers(128, 2048))
+            kwargs["cap"] = cap + 1  # force a fresh jit (cache keys on cap)
+            blocked = predict_links(g, **kwargs)
+        finally:
+            scoring._SEL_BLOCK = old
+        assert len(flat) == len(blocked), (trial, len(flat), len(blocked))
+        np.testing.assert_allclose(np.sort(flat.score),
+                                   np.sort(blocked.score), rtol=1e-6,
+                                   err_msg=f"trial {trial}")
+
+
 def test_argselect_blocked_unit(rng):
     import jax.numpy as jnp
 
