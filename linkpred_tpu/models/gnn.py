@@ -83,7 +83,8 @@ def sample_neighbors(key, offsets, indices, degrees, nodes, fanout: int):
     """Uniform-with-replacement neighbor sampling, TPU-idiomatic: one randint
     + one gather per (node, slot), static [len(nodes), fanout] shape — no
     host round trip, no dynamic shapes.  Isolated vertices sample themselves
-    (their message then equals their own features, a harmless self-loop)."""
+    (a valid gather index); `sage_encode_sampled` zero-masks their aggregate
+    so sampled training matches `_mean_aggregate`'s zero for deg-0 nodes."""
     r = jax.random.randint(key, (*nodes.shape, fanout), 0, 1 << 30)
     deg = degrees[nodes]
     ok = deg > 0
@@ -112,14 +113,20 @@ def sage_encode_sampled(params, feats, offsets, indices, degrees, seeds, key,
                           n1.reshape(-1), f1).reshape(*n1.shape, f1)
     ns = sample_neighbors(k3, offsets, indices, degrees, seeds, f1)  # [B,F1]
 
-    def l1(p, x, nbrs):
-        # x [..., din], nbrs [..., F1, din]
-        z = jnp.concatenate([x, nbrs.mean(axis=-2)], axis=-1)
+    def l1(p, x, nbrs, deg):
+        # x [..., din], nbrs [..., F1, din]; deg-0 nodes get a ZERO neighbor
+        # aggregate (matching the exact full-graph `_mean_aggregate`, which
+        # divides a zero segment-sum — sampling would otherwise feed them
+        # their own features and skew train vs inference for isolated nodes)
+        agg = jnp.where((deg > 0)[..., None], nbrs.mean(axis=-2), 0.0)
+        z = jnp.concatenate([x, agg], axis=-1)
         return jax.nn.relu(z @ p["w"] + p["b"])
 
-    h1_seed = l1(params["l1"], feats[seeds], feats[ns])          # [B, H]
-    h1_nbr = l1(params["l1"], feats[n1], feats[n2])              # [B, F2, H]
-    z = jnp.concatenate([h1_seed, h1_nbr.mean(axis=1)], axis=-1)
+    h1_seed = l1(params["l1"], feats[seeds], feats[ns], degrees[seeds])
+    h1_nbr = l1(params["l1"], feats[n1], feats[n2], degrees[n1])  # [B, F2, H]
+    agg2 = jnp.where((degrees[seeds] > 0)[..., None],
+                     h1_nbr.mean(axis=1), 0.0)
+    z = jnp.concatenate([h1_seed, agg2], axis=-1)
     h = z @ params["l2"]["w"] + params["l2"]["b"]
     return h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-6)
 

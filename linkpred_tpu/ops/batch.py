@@ -152,6 +152,12 @@ def apply_batch(
         if w is not None:
             w = w[keep]
     if insertions.shape[0]:
+        # Mirror GraphBuilder.update: an unweighted base stays unweighted when
+        # every insertion weight is the default 1.0 (no spurious promotion to a
+        # weighted representation / m-sized float32 allocation).
+        if insertion_weights is not None and w is None \
+                and not np.any(np.asarray(insertion_weights) != 1.0):
+            insertion_weights = None
         if w is not None or insertion_weights is not None:
             base_w = w if w is not None \
                 else np.ones(src.shape[0], dtype=np.float32)

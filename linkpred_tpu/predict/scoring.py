@@ -445,9 +445,12 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
         # (non-run-end slots + ghost tiles) and a constant duplicate mass
         # degrades XLA's sort badly (measured 4.6 vs 2.5 ms per 2^20 here).
         # key(-inf) = 0xFF800000 strictly exceeds every finite score's key, so
-        # OR-ing low bits keeps invalid lanes after all real candidates.
+        # OR-ing low bits keeps invalid lanes after all real candidates.  The
+        # spread mask's low bit stays clear (0x7FFFFE, not 0x7FFFFF) so the
+        # widest spread key is 0xFFFFFFFE — _argselect_blocked's pad sentinel
+        # (uint32 max) stays RESERVED and provably sorts after every real lane.
         key = jnp.where(jnp.isneginf(flat),
-                        key | (iota & jnp.int32(0x7FFFFF)).astype(jnp.uint32),
+                        key | (iota & jnp.int32(0x7FFFFE)).astype(jnp.uint32),
                         key)
         skey, idx = _argselect_blocked(key, iota, kk)
         top = idx[:kk]
