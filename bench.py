@@ -54,11 +54,12 @@ def main() -> int:
             print("bench: TPU not ready; waiting 120s", file=sys.stderr)
             time.sleep(120)
         env = dict(os.environ, BENCH_INNER="1")
-        # The bench runs the engine in its fastest exactness-tested mode: the
-        # u64-key tile sort (LINKPRED_KEY64 — oracle-tested across the full
-        # suite, tests/test_key64.py).  Measured on v5e: s19 136.5 -> 149.9M,
-        # s21 55.8 -> 58.9M edges/s vs the default u32 engine.  Override with
-        # BENCH_KEY64=0 to bench the default mode.
+        # The bench runs the engine in its fastest mode: the u64-key tile
+        # sort (key64 — the FULL ~175-test suite runs in this mode via
+        # scripts/ci.sh leg 2, plus dedicated differential tests).  Measured
+        # on v5e: s19 136.5 -> 149.9M, s21 55.8 -> 58.9M edges/s vs the u32
+        # engine.  Override with BENCH_KEY64=0 to bench the u32 mode.  The
+        # emitted JSON labels the mode in the "engine" field.
         if os.environ.get("BENCH_KEY64", "1") == "1":
             env.setdefault("LINKPRED_KEY64", "1")
             env.setdefault("JAX_ENABLE_X64", "1")
@@ -138,11 +139,15 @@ def _run() -> int:
         cap=cap,
     )
     rate = y.size / max(res.scoring_ms / 1e3, 1e-9)
+    from linkpred_tpu.predict.scoring import default_key64
     print(json.dumps({
         "metric": f"lhub_{metric}_deg{deg}_rmat{scale}_rate",
         "value": round(rate, 1),
         "unit": "edges/s",
         "vs_baseline": round(rate / baseline_edges_per_s, 4),
+        # engine-mode label (advisor r3): which tile-sort engine produced
+        # this number — "key64" (u64 keys; bench default) or "u32"
+        "engine": "key64" if default_key64() else "u32",
     }))
     return 0
 

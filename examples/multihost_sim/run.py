@@ -25,6 +25,10 @@ def worker(rank: int, nprocs: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # the key64 CI leg (LINKPRED_KEY64=1) propagates to the simulated hosts;
+    # the u64-key engine needs x64 types in every process of the group
+    if os.environ.get("LINKPRED_KEY64") == "1":
+        jax.config.update("jax_enable_x64", True)
     pid, pcount = process_info()
     assert pcount == nprocs, (pid, pcount)
 

@@ -164,7 +164,7 @@ def pad_tiles_for_mesh(
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "mesh", "axis",
+                     "deg16", "upper_only", "key64", "mesh", "axis",
                      "stream_sharded"),
 )
 def score_tiles_sharded(
@@ -174,6 +174,7 @@ def score_tiles_sharded(
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
+    key64: bool = False,
     mesh: Mesh, axis: str = "workers",
     stream_sharded: bool = False,
 ) -> TopK:
@@ -200,7 +201,8 @@ def score_tiles_sharded(
             tile_s, tile_e = tile_s[0], tile_e[0]
         stream_fn = _make_stream_fn(
             indices, degrees, stream,
-            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only)
+            metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only,
+            key64)
         local = scan_tiles(stream_fn, tile_s, tile_e, k, len(metrics), cap)
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)

@@ -117,8 +117,14 @@ def predict_links_multi(
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
     sources=None,
+    key64: Optional[bool] = None,
 ) -> dict:
     """Predict links for SEVERAL metrics in one fused pass.
+
+    ``key64``: engine mode — ``True`` selects the u64-key tile sort (requires
+    ``JAX_ENABLE_X64``; the bench default, ~24% faster tile sorts at scale),
+    ``False`` the u32 three-operand engine, ``None`` (default) resolves from
+    ``LINKPRED_KEY64``.  Both modes are call state and coexist in one process.
 
     ``sources``: optional vertex subset — serving mode: score only pairs whose
     source is in the subset, over ALL second-order neighbors (directed
@@ -176,6 +182,10 @@ def predict_links_multi(
     edge_sentinel = _os.environ.get("LINKPRED_EDGE_SENTINEL", "0") == "1"
     w_bits = plan.w_bits if (plan.keyed and not (edge_sentinel and not plan.packed)) else 0
     min_score = jnp.float32(o.min_score)
+    if key64 is None:
+        from .scoring import default_key64
+        key64 = default_key64()
+    key64 = bool(key64)
 
     stream_sharded = False
     dummy = jnp.zeros(1, jnp.int32)
@@ -210,7 +220,7 @@ def predict_links_multi(
             else 0
         kw = dict(metric_names=names, cap=p.cap, k=k, maxf2=max_factor2,
                   w_bits=wb, packed=p.packed, deg16=p.deg16,
-                  upper_only=p.upper_only,
+                  upper_only=p.upper_only, key64=key64,
                   chunk=CHUNK_TILES_PACKED if p.packed else CHUNK_TILES)
         if mesh is not None:
             if p.packed:
@@ -236,7 +246,7 @@ def predict_links_multi(
                 t_starts, t_ends, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only,
+                upper_only=plan.upper_only, key64=key64,
                 mesh=mesh, axis=axis, stream_sharded=stream_sharded,
                 chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES,
             )
@@ -246,7 +256,7 @@ def predict_links_multi(
                 tile_start, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
                 w_bits=w_bits, packed=plan.packed, deg16=plan.deg16,
-                upper_only=plan.upper_only,
+                upper_only=plan.upper_only, key64=key64,
                 chunk=CHUNK_TILES_PACKED if plan.packed else CHUNK_TILES,
             )
         return (top, *[run_sub(p) for p in sub_plans])
@@ -326,6 +336,7 @@ def predict_links(
     plan_cache: Optional[PlanCache] = None,
     mesh=None,
     sources=None,
+    key64: Optional[bool] = None,
 ) -> PredictResult:
     """Predict the top-``max_edges`` unobserved links of an undirected graph.
 
@@ -338,7 +349,7 @@ def predict_links(
     return predict_links_multi(
         g, (spec.name,), min_degree1=min_degree1, max_factor2=max_factor2,
         options=options, cap=cap, plan=plan, plan_cache=plan_cache, mesh=mesh,
-        sources=sources,
+        sources=sources, key64=key64,
     )[spec.name]
 
 

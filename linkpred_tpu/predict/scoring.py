@@ -45,16 +45,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Experimental 64-bit-key engine (requires JAX_ENABLE_X64=1): the tile sort
-# packs (w, src) into ONE u64 key — 2 sort operands instead of 3 (deg16) or
-# packs the degree pair into a u64 payload — 2 instead of 4 (wide degrees) —
-# and the deferred selection packs (score key, lane index) into ONE u64
-# operand instead of 2.  Grouping by the composite key makes sort stability
-# unnecessary (intra-run payload order is irrelevant: degrees are constant
-# within a run and the AA/RA weights are summed).  Measured on v5e: operand
-# COUNT dominates lax.sort cost (3x u32 -> 2x u32 is -26%); whether XLA's
-# emulated u64 compare keeps that win is what this flag A/Bs.
-_KEY64 = _os.environ.get("LINKPRED_KEY64", "0") == "1"
+# 64-bit-key engine mode (requires JAX_ENABLE_X64=1): the tile sort packs
+# (w, src) into ONE u64 key — 2 sort operands instead of 3 (deg16) or packs
+# the degree pair into a u64 payload — 2 instead of 4 (wide degrees).
+# Grouping by the composite key makes sort stability unnecessary (intra-run
+# payload order is irrelevant: degrees are constant within a run and the
+# AA/RA weights are summed).  Measured on v5e: operand COUNT dominates
+# lax.sort cost (3x u32 -> 2x u32 is -26%), and the u64 tile sort is -24% at
+# s21 — the bench default.  The mode is CALL STATE (a static jit arg threaded
+# from the API), not an import-time global: both engines coexist in one
+# process, so the full oracle/differential/mesh suite runs either mode
+# (LINKPRED_KEY64=1 JAX_ENABLE_X64=1 pytest tests/ — see scripts/ci.sh).
+
+
+def default_key64() -> bool:
+    """Engine-mode default, read from ``LINKPRED_KEY64`` at CALL time (so a
+    test or harness can flip modes without reimporting)."""
+    return _os.environ.get("LINKPRED_KEY64", "0") == "1"
 
 from ..graph import CSRGraph
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
@@ -96,7 +103,7 @@ def _pad_key(iota, w_bits):
 def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
                        *, w_bits: int, n: int, maxf2: int,
                        min_score, deg16: bool = False, killers: bool = True,
-                       predpacked: bool = False):
+                       predpacked: bool = False, key64: bool = False):
     """Shared reduce: STABLE single-key sort of the candidate id w (payloads:
     ``upay`` = src << 1 | real_flag, degrees, AA/RA weights) → run boundaries on
     (w, src) → count-by-run-length with killer-flag liveness → scores.
@@ -117,13 +124,13 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
 
-    if _KEY64:
+    if key64:
         # One u64 key carries (w, upay): grouping is BY THE KEY, so the sort
         # needs no stability (payloads within a run are a constant degree pack
         # or summed weights), and the killer flag in upay's low bit keeps
         # killers first within their run by VALUE rather than by stream order.
         if not jax.config.jax_enable_x64:
-            raise RuntimeError("LINKPRED_KEY64=1 requires JAX_ENABLE_X64=1")
+            raise RuntimeError("the key64 engine requires JAX_ENABLE_X64=1")
         u64 = jnp.uint64
         m32 = u64(0xFFFFFFFF)
         # zero-extend via uint32 (pad lanes may carry junk; int32 sign
@@ -194,7 +201,7 @@ def tile_candidates_packed(
     slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-    deg16: bool = False,
+    deg16: bool = False, key64: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
     every per-slot quantity (candidate w, source id, the degrees) is a
@@ -233,7 +240,7 @@ def tile_candidates_packed(
     return _keyed_sort_reduce(key, src, udeg, wdeg, wts, weighted, metrics,
                               w_bits=w_bits, n=n,
                               maxf2=maxf2, min_score=min_score, deg16=deg16,
-                              killers=False, predpacked=deg16)
+                              killers=False, predpacked=deg16, key64=key64)
 
 
 def tile_candidates(
@@ -242,6 +249,7 @@ def tile_candidates(
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
+    key64: bool = False,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
@@ -310,7 +318,8 @@ def tile_candidates(
         wts = mid_weights(svalid & real) if weighted else []
         return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted,
                                   metrics, w_bits=w_bits, n=n, maxf2=maxf2,
-                                  min_score=min_score, deg16=deg16)
+                                  min_score=min_score, deg16=deg16,
+                                  key64=key64)
 
     # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
     cand = svalid & ((w > u) if upper_only else (w != u))
@@ -374,7 +383,18 @@ def _desc_key_score(key):
 # workspace is per-2^23-block instead of per-segment, and one segment at s21
 # (142.6M lanes) saves a segment merge + half the final u/v gathers
 # (measured: 11.8 ns per gathered element — 35 ms per 2.95M-row fetch).
-SEG_LANES = int(_os.environ.get("LINKPRED_SEG_LANES", str(1 << 28)))
+# ``None`` (the default when LINKPRED_SEG_LANES is unset) auto-sizes from the
+# queried device HBM (utils/device.py: ~20% of HBM, == 2^28 on a 16 GB v5e);
+# tests monkeypatch the module attribute with a concrete int.
+SEG_LANES = (int(_os.environ["LINKPRED_SEG_LANES"])
+             if _os.environ.get("LINKPRED_SEG_LANES") else None)
+
+
+def _seg_lanes() -> int:
+    if SEG_LANES is not None:
+        return SEG_LANES
+    from ..utils.device import auto_seg_lanes
+    return auto_seg_lanes()
 
 
 # Block bound for ONE selection sort.  lax.sort's per-lane cost grows
@@ -502,11 +522,11 @@ def scan_tiles(
     i32 = jnp.int32
     t_pad = tile_start.shape[0]
     # The raw buffer costs (4*M + 8) bytes/lane (scores per metric + u + v);
-    # SEG_LANES is calibrated for ONE metric (12 B/lane), so scale the lane
-    # bound down for multi-metric passes — a fused 9-metric scan at the
-    # single-metric bound would buffer ~3.7x the budget and OOM exactly the
-    # way the pre-segmentation engine did.
-    seg_lanes = max(cap, SEG_LANES * 12 // (4 * num_metrics + 8))
+    # the segment bound is calibrated for ONE metric (12 B/lane), so scale
+    # the lane bound down for multi-metric passes — a fused 9-metric scan at
+    # the single-metric bound would buffer ~3.7x the budget and OOM exactly
+    # the way the pre-segmentation engine did.
+    seg_lanes = max(cap, _seg_lanes() * 12 // (4 * num_metrics + 8))
     seg = max(1, seg_lanes // cap)
 
     def empty(*_):
@@ -560,7 +580,7 @@ def scan_tiles(
 
 def _make_stream_fn(indices, degrees, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
-                    deg16=False, upper_only=True):
+                    deg16=False, upper_only=True, key64=False):
     if packed:
         slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
@@ -570,7 +590,7 @@ def _make_stream_fn(indices, degrees, stream,
                 slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, n=n, deg16=deg16,
+                w_bits=w_bits, n=n, deg16=deg16, key64=key64,
             )
     else:
         fe_work, fe_adr, fe_usrc, fe_middeg = stream
@@ -582,6 +602,7 @@ def _make_stream_fn(indices, degrees, stream,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, deg16=deg16, upper_only=upper_only,
+                key64=key64,
             )
     return stream_fn
 
@@ -589,7 +610,7 @@ def _make_stream_fn(indices, degrees, stream,
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only"),
+                     "deg16", "upper_only", "key64"),
 )
 def score_tiles(
     indices, degrees,
@@ -598,6 +619,7 @@ def score_tiles(
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
+    key64: bool = False,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -610,7 +632,7 @@ def score_tiles(
     metrics = tuple(METRICS[name] for name in metric_names)
     stream_fn = _make_stream_fn(indices, degrees, stream,
                                 metrics, cap, maxf2, min_score, w_bits, packed,
-                                deg16, upper_only)
+                                deg16, upper_only, key64)
     return scan_tiles(
         stream_fn, tile_start[:-1], tile_start[1:], k, len(metrics), cap)
 
@@ -634,7 +656,7 @@ def score_tiles_chunked(
     indices, degrees, stream, tile_start, min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    chunk: int = CHUNK_TILES,
+    key64: Optional[bool] = None, chunk: int = CHUNK_TILES,
 ) -> TopK:
     """`score_tiles` dispatched ``chunk`` tiles at a time with a device sync
     between dispatches (see ``CHUNK_TILES``).  Exact: every chunk keeps its
@@ -642,10 +664,12 @@ def score_tiles_chunked(
     one jit variant (the last is padded with empty tiles)."""
     from ..utils.timing import sync
 
+    if key64 is None:
+        key64 = default_key64()
     t_pad = int(tile_start.shape[0]) - 1
     kwargs = dict(metric_names=metric_names, cap=cap, k=k, maxf2=maxf2,
                   w_bits=w_bits, packed=packed, deg16=deg16,
-                  upper_only=upper_only)
+                  upper_only=upper_only, key64=key64)
     if t_pad <= chunk:
         return score_tiles(indices, degrees, stream,
                            tile_start, min_score, **kwargs)

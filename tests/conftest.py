@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Engine-mode CI axis: LINKPRED_KEY64=1 runs the WHOLE suite on the u64-key
+# engine (the bench default), which needs x64 types enabled.  The runtime
+# config update (not the env var) works even though the host image's
+# sitecustomize imports jax before conftest runs.  `scripts/ci.sh` runs the
+# suite in both modes.
+if os.environ.get("LINKPRED_KEY64") == "1":
+    jax.config.update("jax_enable_x64", True)
+
 # The host image's sitecustomize force-registers the axon TPU backend and
 # overrides JAX_PLATFORMS; pin the CPU mesh explicitly so unit tests run on
 # 8 virtual CPU devices (fast, deterministic, shard_map-capable).

@@ -1,12 +1,24 @@
-"""Oracle-exactness of the experimental u64-key engine (LINKPRED_KEY64=1).
+"""Oracle-exactness of the u64-key engine (key64 mode).
 
-The flag is read at import time and requires JAX_ENABLE_X64, which is a
-process-global config — so the actual checks run in a child process
-(tests/key64_child.py).  See scoring.py `_KEY64` for what the flag rewires.
+The engine mode is CALL STATE (`predict_links(..., key64=...)`, resolved from
+``LINKPRED_KEY64`` when unset) — see scoring.py `default_key64`.  The u64 key
+dtype still needs the process-global ``JAX_ENABLE_X64``:
+
+* `test_key64_engine_oracle_exact` bootstraps a child process with the env
+  default (covers the env-resolution path on the u32-mode CI leg);
+* `test_both_engine_modes_coexist_in_process` runs both engines side by side
+  in ONE process and asserts identical predictions — it executes on the
+  key64 CI leg (`LINKPRED_KEY64=1 pytest`, where conftest enables x64) and
+  skips on the u32 leg.
+
+The full ~175-test suite runs in BOTH modes via `scripts/ci.sh`.
 """
 import os
 import subprocess
 import sys
+
+import numpy as np
+import pytest
 
 
 def test_key64_engine_oracle_exact():
@@ -22,3 +34,34 @@ def test_key64_engine_oracle_exact():
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "all paths oracle-exact" in r.stdout
+
+
+def test_both_engine_modes_coexist_in_process(rng):
+    """u32 and u64 engines run in one process and agree prediction-for-
+    prediction (the VERDICT r3 ask: engine mode as plan/call state)."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("u64 keys need JAX_ENABLE_X64 (the LINKPRED_KEY64=1 CI "
+                    "leg enables it; scripts/ci.sh runs both legs)")
+    from conftest import random_graph
+
+    from linkpred_tpu import PredictOptions, predict_links
+
+    g = random_graph(rng, n=300, avg_deg=7)
+    for metric, deg in (("jaccard_coefficient", 8), ("adamic_adar", 0)):
+        r32 = predict_links(g, metric=metric, min_degree1=deg,
+                            options=PredictOptions(max_edges=5000),
+                            cap=4096, key64=False)
+        r64 = predict_links(g, metric=metric, min_degree1=deg,
+                            options=PredictOptions(max_edges=5000),
+                            cap=4096, key64=True)
+        assert len(r32) == len(r64)
+        # same (u, v) -> score mapping (order may differ only on exact ties)
+        m32 = {(int(u), int(v)): float(s)
+               for u, v, s in zip(r32.u, r32.v, r32.score)}
+        m64 = {(int(u), int(v)): float(s)
+               for u, v, s in zip(r64.u, r64.v, r64.score)}
+        assert m32.keys() == m64.keys()
+        for k in m32:
+            assert np.isclose(m32[k], m64[k], rtol=1e-6), (metric, k)
