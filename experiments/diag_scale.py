@@ -26,7 +26,7 @@ from linkpred_tpu.graph import CSRGraph
 from linkpred_tpu.ops.batch import apply_batch, generate_edge_deletions, tidy_batch
 from linkpred_tpu.predict.plan import build_plan
 from linkpred_tpu.predict.scoring import (CHUNK_TILES, CHUNK_TILES_PACKED,
-                                          SEG_LANES, score_tiles_chunked)
+                                          _seg_lanes, score_tiles_chunked)
 from linkpred_tpu.utils.timing import measure_duration
 
 scale = int(os.environ.get("BENCH_SCALE", "21"))
@@ -72,7 +72,7 @@ def describe(p, label):
     print(f"{label}: slots={p.total_slots:,} tiles={p.num_tiles} "
           f"(padded {t_pad}) cap=2^{p.cap.bit_length()-1} deg16={p.deg16} "
           f"packed={p.packed} sel_lanes={lanes:,} "
-          f"hier_sel={lanes > SEG_LANES and t_pad > max(1, SEG_LANES // p.cap)}",
+          f"hier_sel={lanes > _seg_lanes() and t_pad > max(1, _seg_lanes() // p.cap)}",
           flush=True)
 
 

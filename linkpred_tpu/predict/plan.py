@@ -66,18 +66,37 @@ __all__ = ["TilePlan", "build_plan", "KILL"]
 # one goes negative. Real contributions per run are bounded by max degree < 2**30.
 KILL = -(1 << 30)
 
-# Default ceiling on precomputed slots (packed path): 2**28 slots ≈ 3 GB host +
-# device for the three int32 arrays. Beyond this, fall back to the edge stream.
-# Env-tunable (LINKPRED_SLOT_BUDGET): RMAT-23-scale LHub expansions (~575M
-# slots, ~9 GB of stream on a 16 GB v5e) still fit the packed path when raised.
-SLOT_BUDGET = int(os.environ.get("LINKPRED_SLOT_BUDGET", str(1 << 28)))
+# Ceiling on precomputed slots (packed path; ~12 device bytes per slot for
+# the three int32 arrays).  Beyond this, fall back to the edge stream.
+# ``None`` (the default when LINKPRED_SLOT_BUDGET is unset) auto-sizes from
+# the queried device HBM (utils/device.py: ~55% of HBM / 12 B — ≈787M slots
+# on a 16 GB v5e, so RMAT-23-scale LHub expansions (~575M slots ≈ 6.9 GB)
+# ride the packed path with zero knobs).  Tests monkeypatch a concrete int.
+SLOT_BUDGET = (int(os.environ["LINKPRED_SLOT_BUDGET"])
+               if os.environ.get("LINKPRED_SLOT_BUDGET") else None)
+
+
+def _slot_budget() -> int:
+    if SLOT_BUDGET is not None:
+        return SLOT_BUDGET
+    from ..utils.device import auto_slot_budget
+    return auto_slot_budget()
+
 
 # A huge-hub sub-plan puts one source's whole expansion in ONE tile; beyond
 # this many slots the deferred selection cannot bound its raw buffer (a single
 # tile is not segmentable) and a multi-metric pass would OOM the device, so
 # bigger hubs fall back to the exact host scorer (score_huge_sources_host).
-# 2^27 slots = one 1.6 GB selection segment (scoring.SEG_LANES).
-HUGE_DEVICE_MAX = 1 << 27
+# ``None`` auto-sizes to HALF one selection segment (2^27 on a 16 GB v5e —
+# the measured-safe bound); tests monkeypatch a concrete int.
+HUGE_DEVICE_MAX = None
+
+
+def _huge_device_max() -> int:
+    if HUGE_DEVICE_MAX is not None:
+        return HUGE_DEVICE_MAX
+    from ..utils.device import auto_seg_lanes
+    return auto_seg_lanes() // 2
 
 # Adaptive cap (cap=None): target tile count and cap bounds.  Measured on v5e
 # (RMAT-18/19/20 bench cap sweeps, edges/s at caps 2^20/2^21/2^22):
@@ -267,7 +286,7 @@ class TilePlan:
 
 def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
                pad_tiles_pow2: bool = True,
-               slot_budget: int = SLOT_BUDGET,
+               slot_budget: Optional[int] = None,
                sources: Optional[np.ndarray] = None,
                _keep_src: Optional[np.ndarray] = None,
                _allow_huge: bool = True) -> TilePlan:
@@ -282,7 +301,12 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     variants across runs (the harness does, for sweep-wide shape stability).
 
     ``_keep_src``/``_allow_huge`` are internal: the huge-hub sub-plan restricts
-    to the hub sources WITHOUT flipping to directed-candidate semantics."""
+    to the hub sources WITHOUT flipping to directed-candidate semantics.
+
+    ``slot_budget=None`` auto-sizes from device HBM (``0`` forces the edge
+    stream; an explicit int pins the ceiling — see ``SLOT_BUDGET``)."""
+    if slot_budget is None:
+        slot_budget = _slot_budget()
     g = g.host()
     n = g.n
     deg = np.asarray(g.degrees, dtype=np.int64)
@@ -388,7 +412,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             # deferred selection sort up to 3 ghost tiles of cap lanes each.
             # Mega-hubs past HUGE_DEVICE_MAX (one unsegmentable tile would
             # blow the deferred selection's HBM bound) go to host_src instead.
-            on_device = huge_sizes <= HUGE_DEVICE_MAX
+            on_device = huge_sizes <= _huge_device_max()
             dev_huge = huge_src[on_device]
             host_src = huge_src[~on_device]
             if dev_huge.size:

@@ -19,11 +19,9 @@ def main() -> int:
     scales = [int(s) for s in sys.argv[1:]] or [18, 19, 20, 21, 22]
     rows = []
     for s in scales:
+        # zero env knobs: the slot budget auto-sizes from device HBM
+        # (utils/device.py), so s23+ rides the packed path unconfigured
         env = dict(os.environ, BENCH_SCALE=str(s))
-        if s >= 23:
-            # s23's ~575M-slot stream needs the raised packed-path budget
-            # (see plan.py SLOT_BUDGET; ~9 GB of the 16 GB HBM)
-            env.setdefault("LINKPRED_SLOT_BUDGET", "700000000")
         r = subprocess.run([sys.executable, BENCH], env=env,
                            capture_output=True, text=True)
         line = (r.stdout.strip().splitlines() or [""])[-1]
