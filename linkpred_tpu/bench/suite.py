@@ -115,9 +115,13 @@ def f1_score(precision: float, recall: float) -> float:
 def f1_report(rows, rel_tolerance: float = 0.5) -> dict:
     """Compare a sweep's measured F1 against the published suite averages.
 
-    ``rows``: iterables of dicts with keys ``technique``, ``batch_deletions``,
-    ``precision``, ``recall`` (the shape `bench.process.read_log` returns per
-    graph).  IHub rows are ``...0``-suffixed techniques (MINDEGREE1 = 0);
+    ``rows``: iterables of dicts with keys ``technique``,
+    ``batch_insertions_fraction``, ``precision``, ``recall`` (the shape
+    `bench.process.read_log` returns per graph).  NOTE a reference grammar
+    quirk preserved for byte parity: `main.cxx:202-205` logs the swept
+    fraction in the "+insertions" slot and a literal 0.0 in "-deletions"
+    (removed edges are the links to re-predict, i.e. the "insertions") — so
+    the fraction lives in ``batch_insertions_fraction``.  IHub rows are ``...0``-suffixed techniques (MINDEGREE1 = 0);
     LHub aggregates every nonzero threshold, matching the reference's
     best-measure averaging loosely — hence the wide default ``rel_tolerance``
     (the published numbers average a different graph population; this report
@@ -129,7 +133,7 @@ def f1_report(rows, rel_tolerance: float = 0.5) -> dict:
 
     acc = defaultdict(list)
     for row in rows:
-        frac = float(row["batch_deletions"])
+        frac = float(row["batch_insertions_fraction"])
         tech = str(row["technique"])
         deg = ""
         while tech and tech[-1].isdigit():

@@ -45,8 +45,12 @@ class _Tee:
 def run_sweep(graphs, cfg: ExperimentConfig, out_dir: str,
               symmetric: bool = False, weighted: bool = False,
               resume: bool = False) -> str:
-    """Run the experiment over ``graphs`` (paths or ("name", CSRGraph) pairs);
-    returns the log path.
+    """Run the experiment over ``graphs``; returns the log path.
+
+    Each item is a path, a ``("name", CSRGraph)`` pair (synthetic), or a
+    ``(path, symmetric_bool)`` pair — the per-graph symmetric flag of the
+    reference's run list (`main.sh:46-62` passes it per graph), overriding
+    the sweep-wide ``symmetric``.
 
     ``resume=True`` makes the run restartable: graphs whose results already
     appear in ``<out_dir>/sweep.log`` are skipped (the log doubles as the
@@ -63,6 +67,9 @@ def run_sweep(graphs, cfg: ExperimentConfig, out_dir: str,
     with open(log_path, "a") as logf:
         out = _Tee(sys.stdout, logf)
         for item in graphs:
+            g_symmetric = symmetric
+            if isinstance(item, tuple) and isinstance(item[1], bool):
+                item, g_symmetric = item  # (path, per-graph symmetric flag)
             stem = (item[0] if isinstance(item, tuple)
                     else os.path.splitext(os.path.basename(str(item)))[0])
             if stem in done:
@@ -80,7 +87,7 @@ def run_sweep(graphs, cfg: ExperimentConfig, out_dir: str,
                 print(f"{_ts()} Loading graph {path} ...", file=out)
                 g = read_mtx(path, weighted=weighted)
                 print(f"{_ts()} {graph_line(g.order, g.size)}", file=out)
-                if not symmetric:
+                if not g_symmetric:
                     g = symmetrize(g)
                     print(f"{_ts()} {graph_line(g.order, g.size)} (symmetrize)",
                           file=out)
@@ -119,6 +126,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--graphs", default="", help="comma-separated .mtx paths")
     p.add_argument("--synthetic", default="",
                    help="comma-separated rmat:<scale>:<edge_factor> specs")
+    p.add_argument("--suite", choices=("reference", "reference-headline"),
+                   default=None,
+                   help="run the reference's 17-graph SuiteSparse protocol "
+                        "(main.sh:46-62), with ITS per-graph symmetric flags; "
+                        "'reference-headline' appends sk-2005")
+    p.add_argument("--data-dir", default=os.path.expanduser("~/Data"),
+                   help="directory holding the suite's .mtx files "
+                        "(the reference uses ~/Data)")
+    p.add_argument("--allow-missing", action="store_true",
+                   help="run the suite graphs that ARE present instead of "
+                        "erroring on the first missing one")
     p.add_argument("--out-dir", default="results")
     p.add_argument("--symmetric", action="store_true")
     p.add_argument("--weighted", action="store_true")
@@ -136,8 +154,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     graphs = [g for g in args.graphs.split(",") if g]
     graphs += [_parse_synthetic(s) for s in args.synthetic.split(",") if s]
+    if args.suite:
+        from .suite import missing_report, resolve_suite
+
+        present, missing = resolve_suite(
+            args.data_dir, include_headline=args.suite == "reference-headline")
+        if missing:
+            print(missing_report(missing), file=sys.stderr)
+            if not args.allow_missing:
+                p.error(f"{len(missing)} suite graphs missing from "
+                        f"{args.data_dir} (use --allow-missing to run the "
+                        "present subset)")
+        graphs += [(path, rg.symmetric) for path, rg in present]
     if not graphs:
-        p.error("no graphs: pass --graphs and/or --synthetic")
+        p.error("no graphs: pass --graphs, --synthetic and/or --suite")
 
     cfg = ExperimentConfig(
         repeat_batch=args.repeat_batch, repeat_method=args.repeat_method,
@@ -154,6 +184,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     write_csv(os.path.join(args.out_dir, "sweep.csv"), process_csv(data))
     for name, rows in data.items():
         write_csv(os.path.join(args.out_dir, f"{name}.csv"), rows)
+    if args.suite:
+        # compare the measured suite-average F1 against the published
+        # brackets (README.md:21) with tie tolerance
+        import json as _json
+
+        from .suite import f1_report
+
+        rep = f1_report(row for rows in data.values() for row in rows)
+        rp = os.path.join(args.out_dir, "f1_report.json")
+        with open(rp, "w") as f:
+            _json.dump({f"{a}@{frac:g}": v for (a, frac), v in rep.items()},
+                       f, indent=2)
+        log(f"F1 vs published brackets written to {rp}")
     log(f"sweep complete: {log_path}")
     return 0
 
