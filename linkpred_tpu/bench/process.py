@@ -8,7 +8,6 @@ per-run rows and writes CSV, either one file or one file per graph.
 """
 from __future__ import annotations
 
-import csv
 import os
 import re
 import sys
@@ -64,15 +63,46 @@ def read_log(path: str) -> dict[str, list[dict]]:
     return data
 
 
+def _js_repr(v) -> str:
+    """JS ``${v}`` stringification (ECMA-262 Number::toString) for parity
+    with process.js's template-literal CSV cells: integer-valued floats print
+    bare ("4", not "4.0"), decimal notation spans [1e-6, 1e21), exponents
+    drop zero padding ("1.5e-7", not "1.5e-07")."""
+    if not isinstance(v, float):
+        return str(v)
+    if v != v:
+        return "NaN"
+    if v in (float("inf"), float("-inf")):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v.is_integer() and abs(v) < 1e21:
+        return str(int(v))
+    r = repr(v)  # shortest round-trip digits (same contract as JS)
+    if "e" not in r:
+        return r
+    mant, exp = r.split("e")
+    e = int(exp)
+    if -6 <= e <= 20:
+        # JS prints this range positionally; expand preserving digits
+        from decimal import Decimal
+
+        s = format(Decimal(r), "f")
+        return s.rstrip("0").rstrip(".") if "." in s else s
+    mant = mant.rstrip("0").rstrip(".") if "." in mant else mant
+    return f"{mant}e{'+' if e >= 0 else '-'}{abs(e)}"
+
+
 def write_csv(path: str, rows: list[dict]) -> None:
-    """All-quoted CSV, column order from the first row (process.js:32-38)."""
+    """All-quoted CSV, column order from the first row (process.js:32-38).
+    Byte parity with process.js: cells stringify via JS number rules
+    (`tests/fixtures/reference_run.csv` pins this against a real reference
+    log)."""
     if not rows:
         return
     cols = list(rows[0])
     with open(path, "w", newline="") as f:
         f.write(",".join(cols) + "\n")  # header unquoted (process.js:33-34)
-        w = csv.DictWriter(f, fieldnames=cols, quoting=csv.QUOTE_ALL)
-        w.writerows(rows)
+        for row in rows:
+            f.write(",".join(f'"{_js_repr(v)}"' for v in row.values()) + "\n")
 
 
 def process_csv(data: dict[str, list[dict]]) -> list[dict]:
