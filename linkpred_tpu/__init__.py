@@ -17,7 +17,8 @@ Layout (reference layer map in SURVEY.md §1):
   utils      — timing, logging
 """
 
-from .graph import CSRGraph, from_edges, from_dense, to_dense, edge_list
+from .graph import (CSRGraph, GraphBuilder, from_edges, from_dense, to_dense,
+                    edge_list)
 from .predict.api import (
     PredictOptions, PredictResult, predict_links, predict_links_multi,
     top_per_source, PlanCache)
@@ -27,7 +28,8 @@ from .io.mtx import read_mtx, read_mtx_header, write_mtx
 __version__ = "0.1.0"
 
 __all__ = [
-    "CSRGraph", "from_edges", "from_dense", "to_dense", "edge_list",
+    "CSRGraph", "GraphBuilder", "from_edges", "from_dense", "to_dense",
+    "edge_list",
     "PredictOptions", "PredictResult", "predict_links", "predict_links_multi",
     "top_per_source", "PlanCache",
     "METRICS", "get_metric",

@@ -13,6 +13,10 @@ padded ``int32`` arrays (the layout the reference defines but never uses:
   padded with the sentinel ``n`` so speculative gathers stay in range
 * ``degrees``  — ``int32[n]`` true row lengths (``offsets[i+1] - offsets[i]``)
 * ``weights``  — optional ``float32[m_pad]`` edge values
+* ``values``   — optional ``[n]`` per-vertex values (the reference's vertex
+  value V, `inc/Graph.hxx:176-186` ``vertexValue``/``setVertexValue``; e.g.
+  ``transpose_with_degree`` stores the pre-transpose out-degree here,
+  `inc/transpose.hxx:79-134`)
 
 ``n`` and ``m`` are static (Python ints) so jitted functions specialize on graph shape,
 mirroring how the reference specializes via C++ templates.  All mutation is functional:
@@ -53,6 +57,7 @@ class CSRGraph:
     weights: Optional[jax.Array]  # float32[m_pad] or None
     n: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
+    values: Optional[jax.Array] = None  # per-vertex values [n] or None
 
     # -- reference-parity accessors (Graph.hxx: span/order/size/degree/hasEdge) --
     @property
@@ -87,6 +92,23 @@ class CSRGraph:
         j = np.searchsorted(nbrs, v)
         return bool(j < nbrs.shape[0] and nbrs[j] == v)
 
+    # -- per-vertex values (reference Graph.hxx:176-186; functional here) ----
+    def vertex_value(self, u: int):
+        """The vertex value of ``u`` (reference ``vertexValue``); None-graph
+        returns None like the reference's V() default-constructed value."""
+        return None if self.values is None else self.values[u]
+
+    def with_vertex_values(self, values) -> "CSRGraph":
+        """New graph carrying ``values`` as the per-vertex value array — the
+        functional ``setVertexValue`` (the reference mutates in place;
+        CSRGraph is a frozen pytree)."""
+        if values is not None:
+            values = np.asarray(values) if isinstance(self.offsets, np.ndarray) \
+                else jnp.asarray(values)
+            if values.shape[0] != self.n:
+                raise ValueError(f"values length {values.shape[0]} != n={self.n}")
+        return dataclasses.replace(self, values=values)
+
     def device(self) -> "CSRGraph":
         """Move array leaves to the default device as jnp arrays."""
         return CSRGraph(
@@ -96,6 +118,7 @@ class CSRGraph:
             weights=None if self.weights is None else jnp.asarray(self.weights),
             n=self.n,
             m=self.m,
+            values=None if self.values is None else jnp.asarray(self.values),
         )
 
     def host(self) -> "CSRGraph":
@@ -106,6 +129,7 @@ class CSRGraph:
             weights=None if self.weights is None else np.asarray(self.weights),
             n=self.n,
             m=self.m,
+            values=None if self.values is None else np.asarray(self.values),
         )
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
@@ -122,6 +146,7 @@ def from_edges(
     n: Optional[int] = None,
     weights: Optional[np.ndarray] = None,
     dedup: bool = True,
+    vertex_values: Optional[np.ndarray] = None,
 ) -> CSRGraph:
     """Build a CSR graph from directed edge arrays (host, vectorized NumPy).
 
@@ -168,7 +193,13 @@ def from_edges(
     if w is not None:
         wpad = np.zeros(mp, dtype=np.float32)
         wpad[:m] = w
-    return CSRGraph(offsets=offsets, indices=indices, degrees=degrees, weights=wpad, n=n, m=m)
+    vv = None
+    if vertex_values is not None:
+        vv = np.asarray(vertex_values)
+        if vv.shape[0] != n:
+            raise ValueError(f"vertex_values length {vv.shape[0]} != n={n}")
+    return CSRGraph(offsets=offsets, indices=indices, degrees=degrees,
+                    weights=wpad, n=n, m=m, values=vv)
 
 
 def edge_list(g: CSRGraph, with_weights: bool = False):
@@ -255,7 +286,18 @@ class GraphBuilder:
                 w = np.concatenate([base_w, addw])
             src = np.concatenate([src, add[:, 0]])
             dst = np.concatenate([dst, add[:, 1]])
-        g = from_edges(src, dst, n=self._n, weights=w)
+        vv = None
+        if self._base is not None and self._base.values is not None:
+            # vertex values survive edge mutations (reference Graph.hxx:
+            # values live per vertex, not per edge); a respan extends with
+            # the default-constructed value V() == 0 (Graph.hxx:258,176-186)
+            old = np.asarray(self._base.values)
+            if old.shape[0] < self._n:
+                vv = np.zeros(self._n, dtype=old.dtype)
+                vv[: old.shape[0]] = old
+            else:
+                vv = old
+        g = from_edges(src, dst, n=self._n, weights=w, vertex_values=vv)
         self._base, self._add, self._rem = g, [], []
         return g
 

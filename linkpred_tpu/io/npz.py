@@ -28,6 +28,8 @@ def save_graph(g: CSRGraph, path: Union[str, os.PathLike]) -> None:
     )
     if g.weights is not None:
         payload["weights"] = np.asarray(g.weights)
+    if g.values is not None:
+        payload["values"] = np.asarray(g.values)
     np.savez_compressed(path, **payload)
 
 
@@ -40,4 +42,5 @@ def load_graph(path: Union[str, os.PathLike]) -> CSRGraph:
             weights=d["weights"] if "weights" in d.files else None,
             n=int(d["n"]),
             m=int(d["m"]),
+            values=d["values"] if "values" in d.files else None,
         )

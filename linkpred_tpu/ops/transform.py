@@ -61,17 +61,20 @@ def transpose(g: CSRGraph) -> CSRGraph:
 
 
 def transpose_with_degree(g: CSRGraph):
-    """Transpose and record each vertex's ORIGINAL out-degree (reference
-    ``transposeWithDegree``, `transpose.hxx:79-134`, where the degree becomes the
-    vertex value).  ``CSRGraph`` has no vertex-value field, so the degree vector
-    is returned alongside: ``(gT, out_degree_of_g)``."""
-    return transpose(g), np.asarray(g.host().degrees).copy()
+    """Transpose and record each vertex's ORIGINAL out-degree as its VERTEX
+    VALUE (reference ``transposeWithDegree``, `transpose.hxx:79-134`, storing
+    into `Graph.hxx:176-186`'s vertex-value slot).  The degree vector lands on
+    the returned graph's ``values`` field; it is also returned alongside for
+    convenience: ``(gT, out_degree_of_g)`` with ``gT.values is out_degree``."""
+    deg = np.asarray(g.host().degrees).copy()
+    return transpose(g).with_vertex_values(deg), deg
 
 
 def duplicate(g: CSRGraph) -> CSRGraph:
     """Copy (reference `duplicate.hxx:98-101`). CSRGraph is immutable, so this is
     a cheap structural share; provided for API parity."""
-    return CSRGraph(g.offsets, g.indices, g.degrees, g.weights, g.n, g.m)
+    return CSRGraph(g.offsets, g.indices, g.degrees, g.weights, g.n, g.m,
+                    values=g.values)
 
 
 def duplicate_if(g: CSRGraph, pred) -> CSRGraph:
