@@ -191,23 +191,18 @@ def predict_links_multi(
     dummy = jnp.zeros(1, jnp.int32)
     if mesh is not None:
         from ..parallel.mesh import (
-            pad_tiles_for_mesh, score_tiles_sharded_chunked,
-            shard_stream_for_mesh)
+            score_tiles_sharded_chunked, shard_stream_for_mesh)
         axis = mesh.axis_names[0]
-        stream_sharded = plan.packed
-        if stream_sharded:
-            # Each device holds ONLY its contiguous slot-range block (stream
-            # memory = total/D); the packed kernel reads nothing from the CSR
-            # arrays, so only the degree vector stays replicated — and the
-            # full-stream device_stream() upload is SKIPPED entirely (it
-            # would commit GBs to device 0 for nothing).
-            m_stream, t_starts, t_ends = shard_stream_for_mesh(plan, mesh, axis)
-        else:
-            stream, _ = plan.device_stream()
-            t_starts, t_ends = pad_tiles_for_mesh(
-                plan.tile_start, mesh.shape[axis])
-            t_starts, t_ends = jnp.asarray(t_starts), jnp.asarray(t_ends)
-            m_stream = stream
+        # Each device holds ONLY its contiguous block of the stream (memory =
+        # total/D): slot arrays for packed plans, fe_* edge-row arrays for
+        # edge-stream plans (exactly the IHub-scale runs that are memory-
+        # bound on one chip).  The packed kernel reads nothing from the CSR
+        # arrays; the edge kernel still gathers `indices` (replicated, 4B/
+        # edge) — its 16B/row fe_* arrays are the distributed bulk.  The
+        # full-stream device_stream() upload is SKIPPED entirely (it would
+        # commit GBs to device 0 for nothing).
+        stream_sharded = True
+        m_stream, t_starts, t_ends = shard_stream_for_mesh(plan, mesh, axis)
     else:
         stream, tile_start = plan.device_stream()
 
@@ -223,17 +218,11 @@ def predict_links_multi(
                   upper_only=p.upper_only, key64=key64,
                   chunk=CHUNK_TILES_PACKED if p.packed else CHUNK_TILES)
         if mesh is not None:
-            if p.packed:
-                s_stream, s_ts, s_te = shard_stream_for_mesh(p, mesh, axis)
-            else:
-                s_stream, _ = p.device_stream()
-                s_ts, s_te = pad_tiles_for_mesh(p.tile_start,
-                                                mesh.shape[axis])
-                s_ts, s_te = jnp.asarray(s_ts), jnp.asarray(s_te)
+            s_stream, s_ts, s_te = shard_stream_for_mesh(p, mesh, axis)
             return score_tiles_sharded_chunked(
                 dummy if p.packed else gd.indices, gd.degrees, s_stream,
                 s_ts, s_te, min_score, mesh=mesh, axis=axis,
-                stream_sharded=p.packed, **kw)
+                stream_sharded=True, **kw)
         s_stream, s_ts = p.device_stream()
         return score_tiles_chunked(gd.indices, gd.degrees, s_stream, s_ts,
                                    min_score, **kw)
@@ -241,7 +230,7 @@ def predict_links_multi(
     def run_scoring():
         if mesh is not None:
             top = score_tiles_sharded_chunked(
-                dummy if stream_sharded else gd.indices,
+                dummy if plan.packed else gd.indices,
                 gd.degrees, m_stream,
                 t_starts, t_ends, min_score,
                 metric_names=names, cap=plan.cap, k=k, maxf2=max_factor2,
