@@ -181,31 +181,20 @@ def pad_tiles_for_mesh(
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "key64", "mesh", "axis",
+                     "deg16", "upper_only", "key64", "fused", "mesh", "axis",
                      "stream_sharded"),
 )
-def score_tiles_sharded(
+def _score_tiles_sharded_jit(
     indices, degrees,
     stream,
     tile_starts, tile_ends,
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    key64: bool = False,
+    key64: bool = False, fused: bool = False,
     mesh: Mesh, axis: str = "workers",
     stream_sharded: bool = False,
 ) -> TopK:
-    """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
-    Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
-
-    ``stream`` is the plan's device stream (slot arrays when ``packed`` else
-    edge arrays) — see `plan.py`.
-    ``stream_sharded=False``: stream replicated; tile windows are global and
-    must be length-multiple-of-mesh-size (see ``pad_tiles_for_mesh``).
-    ``stream_sharded=True`` (packed only): stream and tile arrays are the
-    [D, ...] device-major layout of ``shard_stream_for_mesh`` — each device
-    holds ONLY its slot-range block, windows are block-local.
-    """
     from ..predict.scoring import _make_stream_fn, scan_tiles
 
     metrics = tuple(METRICS[name] for name in metric_names)
@@ -219,8 +208,9 @@ def score_tiles_sharded(
         stream_fn = _make_stream_fn(
             indices, degrees, stream,
             metrics, cap, maxf2, min_score, w_bits, packed, deg16, upper_only,
-            key64)
-        local = scan_tiles(stream_fn, tile_s, tile_e, k, len(metrics), cap)
+            key64, fused)
+        local = scan_tiles(stream_fn, tile_s, tile_e, k, len(metrics), cap,
+                           fused=fused)
         # Hierarchical merge over ICI: [M, k]-sized buffers only.
         gathered = jax.lax.all_gather(local, axis, axis=1, tiled=True)
         # leaves: [M, n_dev * k]; batched descending sort-merge back to [M, k]
@@ -249,6 +239,36 @@ def score_tiles_sharded(
     )
     return fn(tile_starts, tile_ends, indices,
               degrees, stream, min_score)
+
+
+def score_tiles_sharded(
+    indices, degrees, stream, tile_starts, tile_ends, min_score,
+    *, metric_names, cap: int, fused=None, packed: bool = False,
+    deg16: bool = False, **kwargs,
+) -> TopK:
+    """Sharded scoring: per-device tile scan → local top-k → all_gather merge.
+    Multi-metric like `scoring.score_tiles`; returns a replicated [M, k] TopK.
+
+    ``stream`` is the plan's device stream (slot arrays when ``packed`` else
+    edge arrays) — see `plan.py`.
+    ``stream_sharded=False``: stream replicated; tile windows are global and
+    must be length-multiple-of-mesh-size (see ``pad_tiles_for_mesh``).
+    ``stream_sharded=True`` (packed only): stream and tile arrays are the
+    [D, ...] device-major layout of ``shard_stream_for_mesh`` — each device
+    holds ONLY its slot-range block, windows are block-local.
+    ``fused=None`` auto-selects the fused Pallas tail per device (resolved at
+    call time, same contract as `scoring.score_tiles`).
+    """
+    if fused is None:
+        from ..predict.scoring import (fused_tail_enabled,
+                                       fused_tail_supported)
+        metrics = tuple(METRICS[name] for name in metric_names)
+        fused = fused_tail_enabled() and fused_tail_supported(
+            packed=packed, deg16=deg16, metrics=metrics, cap=cap)
+    return _score_tiles_sharded_jit(
+        indices, degrees, stream, tile_starts, tile_ends, min_score,
+        metric_names=metric_names, cap=cap, packed=packed, deg16=deg16,
+        fused=bool(fused), **kwargs)
 
 
 def score_tiles_sharded_chunked(

@@ -64,6 +64,8 @@ def default_key64() -> bool:
     return _os.environ.get("LINKPRED_KEY64", "0") == "1"
 
 from ..graph import CSRGraph
+from ..ops.fused_tail import (fused_tail, fused_tail_enabled,
+                              fused_tail_supported)
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
 from ..ops.topk import TopK
 from .metrics import METRICS, MetricSpec
@@ -103,7 +105,8 @@ def _pad_key(iota, w_bits):
 def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
                        *, w_bits: int, n: int, maxf2: int,
                        min_score, deg16: bool = False, killers: bool = True,
-                       predpacked: bool = False, key64: bool = False):
+                       predpacked: bool = False, key64: bool = False,
+                       fused: bool = False):
     """Shared reduce: STABLE single-key sort of the candidate id w (payloads:
     ``upay`` = src << 1 | real_flag, degrees, AA/RA weights) → run boundaries on
     (w, src) → count-by-run-length with killer-flag liveness → scores.
@@ -123,6 +126,9 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     i32 = jnp.int32
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
+    # The fused Pallas tail covers the killer-free deg16 stream with
+    # unweighted metrics (ops/fused_tail.py); anything else runs the XLA tail.
+    fused = fused and not killers and deg16 and not wts
 
     if key64:
         # One u64 key carries (w, upay): grouping is BY THE KEY, so the sort
@@ -141,6 +147,14 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
             dpack = udeg if predpacked else ((udeg << 16) | wdeg)
             key64, dpack, *wts = jax.lax.sort(
                 (key64, dpack, *wts), num_keys=1, is_stable=False)
+            if fused:
+                # ONE u64 compare gives the run boundaries; the kernel does
+                # the rest (count + score + selection key) in one pass
+                neq = key64[1:] != key64[:-1]
+                return fused_tail((key64 >> u64(32)).astype(i32),
+                                  (key64 & m32).astype(i32), dpack, neq,
+                                  min_score, metrics=metrics, w_bits=w_bits,
+                                  n=n, maxf2=maxf2)
             udeg = (dpack >> 16) & 0xFFFF
             wdeg = dpack & 0xFFFF
         else:
@@ -156,6 +170,11 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
         dpack = udeg if predpacked else ((udeg << 16) | wdeg)
         key, upay, dpack, *wts = jax.lax.sort(
             (key, upay, dpack, *wts), num_keys=1, is_stable=True)
+        if fused:
+            neq = (key[1:] != key[:-1]) | (upay[1:] != upay[:-1])
+            return fused_tail(key, upay, dpack, neq, min_score,
+                              metrics=metrics, w_bits=w_bits, n=n,
+                              maxf2=maxf2)
         # Mask after the shift: for udeg >= 2^15 the pack sets the int32 sign
         # bit and `>> 16` alone would sign-extend (40000 would come back as
         # -25536, silently corrupting every degree-dependent metric).
@@ -201,7 +220,7 @@ def tile_candidates_packed(
     slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score, w_bits: int, n: int,
-    deg16: bool = False, key64: bool = False,
+    deg16: bool = False, key64: bool = False, fused: bool = False,
 ):
     """Packed-path tile scoring over the precomputed slot stream — ZERO gathers:
     every per-slot quantity (candidate w, source id, the degrees) is a
@@ -240,7 +259,8 @@ def tile_candidates_packed(
     return _keyed_sort_reduce(key, src, udeg, wdeg, wts, weighted, metrics,
                               w_bits=w_bits, n=n,
                               maxf2=maxf2, min_score=min_score, deg16=deg16,
-                              killers=False, predpacked=deg16, key64=key64)
+                              killers=False, predpacked=deg16, key64=key64,
+                              fused=fused)
 
 
 def tile_candidates(
@@ -443,9 +463,12 @@ def _argselect_blocked(key, idx, kk: int):
     return jax.lax.sort((key, idx), num_keys=1, is_stable=False)
 
 
-def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
+def _select_topk(scores, us, vs, k: int, num_metrics: int,
+                 pre_keyed: bool = False) -> TopK:
     """One deferred-selection pass: descending blocked key sort per metric over
-    the flattened lanes; returns [M, k]."""
+    the flattened lanes; returns [M, k].  ``pre_keyed``: ``scores`` already
+    holds ready-made u32 selection keys (the fused Pallas tail emits them with
+    the invalid-lane spread applied), so the key build here drops out."""
     i32 = jnp.int32
     total = scores.shape[0] * scores.shape[-1]
     us = us.reshape(total)
@@ -455,6 +478,14 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int) -> TopK:
     out_s, out_u, out_v = [], [], []
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
+        if pre_keyed:
+            skey, idx = _argselect_blocked(flat, iota, kk)
+            top = idx[:kk]
+            dec = _desc_key_score(skey[:kk])
+            out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
+            out_u.append(us[top])
+            out_v.append(vs[top])
+            continue
         key = _desc_score_key(flat)
         # NOTE: selection stays (u32 key, i32 index) in BOTH engine modes.
         # The u64-packed single-operand variant (key << 32 | lane) was
@@ -498,7 +529,7 @@ def _merge_stacked(stacked: TopK, k: int) -> TopK:
 
 def scan_tiles(
     stream_fn, tile_start, tile_end, k: int,
-    num_metrics: int, cap: int,
+    num_metrics: int, cap: int, fused: bool = False,
 ) -> TopK:
     """Run ``stream_fn(t_start, t_end) -> (scores [M, cap], u, v)``
     over all tiles under `lax.scan`, then select the global top-k.
@@ -530,6 +561,14 @@ def scan_tiles(
     seg = max(1, seg_lanes // cap)
 
     def empty(*_):
+        if fused:
+            # ready-made selection keys: key(-inf) with the lane spread
+            # applied, exactly what the fused tail emits for invalid lanes
+            iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
+            sk = jnp.uint32(0xFF800000) | (iota & i32(0x7FFFFE)).astype(
+                jnp.uint32)
+            return (jnp.broadcast_to(sk, (num_metrics, cap)),
+                    jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
         return (jnp.full((num_metrics, cap), -jnp.inf, jnp.float32),
                 jnp.zeros((cap,), i32), jnp.zeros((cap,), i32))
 
@@ -552,7 +591,7 @@ def scan_tiles(
     if t_pad <= seg:
         _, (scores, us, vs) = jax.lax.scan(
             body, 0, (tile_start, tile_end), unroll=unroll)
-        return _select_topk(scores, us, vs, k, num_metrics)
+        return _select_topk(scores, us, vs, k, num_metrics, pre_keyed=fused)
 
     # --- hierarchical: segments of `seg` tiles, selection per segment --------
     n_seg = -(-t_pad // seg)
@@ -572,7 +611,8 @@ def scan_tiles(
         s_ts, s_te = bounds
         _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te),
                                            unroll=unroll)
-        return carry, _select_topk(scores, us, vs, kk, num_metrics)
+        return carry, _select_topk(scores, us, vs, kk, num_metrics,
+                                   pre_keyed=fused)
 
     _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
     return _merge_stacked(tops, k)
@@ -580,7 +620,7 @@ def scan_tiles(
 
 def _make_stream_fn(indices, degrees, stream,
                     metrics, cap, maxf2, min_score, w_bits, packed,
-                    deg16=False, upper_only=True, key64=False):
+                    deg16=False, upper_only=True, key64=False, fused=False):
     if packed:
         slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg = stream
         n = degrees.shape[0]
@@ -590,7 +630,7 @@ def _make_stream_fn(indices, degrees, stream,
                 slot_w, slot_u, slot_udeg, slot_wdeg, slot_middeg,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
-                w_bits=w_bits, n=n, deg16=deg16, key64=key64,
+                w_bits=w_bits, n=n, deg16=deg16, key64=key64, fused=fused,
             )
     else:
         fe_work, fe_adr, fe_usrc, fe_middeg = stream
@@ -610,8 +650,26 @@ def _make_stream_fn(indices, degrees, stream,
 @partial(
     jax.jit,
     static_argnames=("metric_names", "cap", "k", "maxf2", "w_bits", "packed",
-                     "deg16", "upper_only", "key64"),
+                     "deg16", "upper_only", "key64", "fused"),
 )
+def _score_tiles_jit(
+    indices, degrees,
+    stream,
+    tile_start,
+    min_score,
+    *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
+    packed: bool = False, deg16: bool = False, upper_only: bool = True,
+    key64: bool = False, fused: bool = False,
+) -> TopK:
+    metrics = tuple(METRICS[name] for name in metric_names)
+    stream_fn = _make_stream_fn(indices, degrees, stream,
+                                metrics, cap, maxf2, min_score, w_bits, packed,
+                                deg16, upper_only, key64, fused)
+    return scan_tiles(
+        stream_fn, tile_start[:-1], tile_start[1:], k, len(metrics), cap,
+        fused=fused)
+
+
 def score_tiles(
     indices, degrees,
     stream,
@@ -619,7 +677,7 @@ def score_tiles(
     min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    key64: bool = False,
+    key64: bool = False, fused: Optional[bool] = None,
 ) -> TopK:
     """Score all tiles for every metric in ``metric_names`` (tuple of names) in
     one shared expansion+sort pass; returns a [M, k] TopK.
@@ -628,13 +686,24 @@ def score_tiles(
     ``(fe_work, fe_adr, fe_usrc, fe_middeg)``.  ``tile_start``
     indexes slots (packed) or edges (fallback).  AA/RA weights are elementwise
     functions of deg(mid) on both paths (identical formula => identical
-    low-order bits)."""
-    metrics = tuple(METRICS[name] for name in metric_names)
-    stream_fn = _make_stream_fn(indices, degrees, stream,
-                                metrics, cap, maxf2, min_score, w_bits, packed,
-                                deg16, upper_only, key64)
-    return scan_tiles(
-        stream_fn, tile_start[:-1], tile_start[1:], k, len(metrics), cap)
+    low-order bits).  ``fused=None`` auto-selects the fused Pallas tail
+    (ops/fused_tail.py) where the configuration supports it — resolved at
+    CALL time so LINKPRED_FUSED_TAIL flips take effect without retracing
+    hazards."""
+    if fused is None:
+        metrics = tuple(METRICS[name] for name in metric_names)
+        fused = fused_tail_enabled() and fused_tail_supported(
+            packed=packed, deg16=deg16, metrics=metrics, cap=cap)
+    return _score_tiles_jit(
+        indices, degrees, stream, tile_start, min_score,
+        metric_names=metric_names, cap=cap, k=k, maxf2=maxf2, w_bits=w_bits,
+        packed=packed, deg16=deg16, upper_only=upper_only, key64=key64,
+        fused=bool(fused))
+
+
+# jit-cache management passthrough (tests shrink SEG_LANES and need to drop
+# the traced variants)
+score_tiles.clear_cache = _score_tiles_jit.clear_cache
 
 
 # Max tiles per device dispatch on the edge-stream path.  Edge tiles cost
@@ -656,7 +725,8 @@ def score_tiles_chunked(
     indices, degrees, stream, tile_start, min_score,
     *, metric_names, cap: int, k: int, maxf2: int = 0, w_bits: int = 0,
     packed: bool = False, deg16: bool = False, upper_only: bool = True,
-    key64: Optional[bool] = None, chunk: int = CHUNK_TILES,
+    key64: Optional[bool] = None, fused: Optional[bool] = None,
+    chunk: int = CHUNK_TILES,
 ) -> TopK:
     """`score_tiles` dispatched ``chunk`` tiles at a time with a device sync
     between dispatches (see ``CHUNK_TILES``).  Exact: every chunk keeps its
@@ -669,7 +739,7 @@ def score_tiles_chunked(
     t_pad = int(tile_start.shape[0]) - 1
     kwargs = dict(metric_names=metric_names, cap=cap, k=k, maxf2=maxf2,
                   w_bits=w_bits, packed=packed, deg16=deg16,
-                  upper_only=upper_only, key64=key64)
+                  upper_only=upper_only, key64=key64, fused=fused)
     if t_pad <= chunk:
         return score_tiles(indices, degrees, stream,
                            tile_start, min_score, **kwargs)
