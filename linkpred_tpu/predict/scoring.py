@@ -428,6 +428,57 @@ def _seg_lanes() -> int:
 _SEL_BLOCK = int(_os.environ.get("LINKPRED_SEL_BLOCK", str(1 << 23)) or "0")
 
 
+# Threshold-compaction selection (ops/compact.py): sample a key threshold,
+# Pallas-pack the ~k(1+eps) surviving lanes to 1/PACK_RATIO of the buffer,
+# and sort ONLY those — with an in-jit lax.cond fallback to the full blocked
+# sort whenever the sample undershot or survivors over-clustered (exactness
+# is never at stake, only speed).  Engaged for large single-metric
+# selections where k is a small fraction of the lanes; LINKPRED_SEL_PACK=0
+# disables.
+def _sel_pack_enabled() -> bool:
+    return _os.environ.get("LINKPRED_SEL_PACK", "1") != "0"
+
+
+def _argselect_packed(key, idx, kk: int):
+    """Exact top-kk via threshold pack + small sort, cond-fallback to
+    `_argselect_blocked`.  Returns (keys[:kk], idx[:kk]) — NOTE: already
+    sliced to kk, unlike `_argselect_blocked`."""
+    from ..ops.compact import PACK_CHUNK, PACK_RATIO, pack_survivors, \
+        sample_threshold
+
+    total = key.shape[0]
+    pad = -total % PACK_CHUNK
+    if pad:
+        key = jnp.concatenate(
+            [key, jnp.full((pad,), jnp.uint32(0xFFFFFFFF), key.dtype)])
+    thr, _ = sample_threshold(key, kk)
+    pk, pidx, cnt = pack_survivors(key, thr)
+    w = PACK_CHUNK // PACK_RATIO
+    ok = (jnp.sum(cnt) >= kk) & (jnp.max(cnt) <= w)
+
+    def packed_path():
+        sk, si = jax.lax.sort((pk, pidx), num_keys=1, is_stable=False)
+        return sk[:kk], si[:kk]
+
+    def fallback():
+        sk, si = _argselect_blocked(key[:total], idx, kk)
+        return sk[:kk], si[:kk]
+
+    return jax.lax.cond(ok, packed_path, fallback)
+
+
+def _argselect(key, idx, kk: int):
+    """Dispatch: threshold-pack selection where it pays (large buffer, k a
+    small fraction), blocked sorts otherwise.  Returns (keys, idx) of
+    length >= kk (callers slice [:kk])."""
+    total = key.shape[0]
+    from ..ops.compact import PACK_CHUNK, PACK_RATIO
+    if (_sel_pack_enabled() and total >= (1 << 22)
+            and kk * 4 <= total // PACK_RATIO):
+        return _argselect_packed(key, idx, kk)
+    return _argselect_blocked(key, idx, kk)
+
+
 def _argselect_blocked(key, idx, kk: int):
     """Top-``kk`` (ascending) of ``key``: per-block sorts + recursion on block
     winners.  Returns the fully sorted last level ``(keys, lane indices)`` —
@@ -479,7 +530,7 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int,
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
         if pre_keyed:
-            skey, idx = _argselect_blocked(flat, iota, kk)
+            skey, idx = _argselect(flat, iota, kk)
             top = idx[:kk]
             dec = _desc_key_score(skey[:kk])
             out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
@@ -503,7 +554,7 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int,
         key = jnp.where(jnp.isneginf(flat),
                         key | (iota & jnp.int32(0x7FFFFE)).astype(jnp.uint32),
                         key)
-        skey, idx = _argselect_blocked(key, iota, kk)
+        skey, idx = _argselect(key, iota, kk)
         top = idx[:kk]
         dec = _desc_key_score(skey[:kk])
         # spread invalid-lane keys decode to NaN (0xFF80xxxx); restore the
