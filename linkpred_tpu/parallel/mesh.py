@@ -263,8 +263,9 @@ def score_tiles_sharded(
         from ..predict.scoring import (fused_tail_enabled,
                                        fused_tail_supported)
         metrics = tuple(METRICS[name] for name in metric_names)
-        fused = fused_tail_enabled() and fused_tail_supported(
-            packed=packed, deg16=deg16, metrics=metrics, cap=cap)
+        fused = (fused_tail_enabled() and kwargs.get("w_bits", 0) > 0
+                 and fused_tail_supported(
+                     packed=packed, deg16=deg16, metrics=metrics, cap=cap))
     return _score_tiles_sharded_jit(
         indices, degrees, stream, tile_starts, tile_ends, min_score,
         metric_names=metric_names, cap=cap, packed=packed, deg16=deg16,

@@ -126,9 +126,11 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     i32 = jnp.int32
     cap = key.shape[0]
     iota = jax.lax.broadcasted_iota(i32, (cap,), 0)
-    # The fused Pallas tail covers the killer-free deg16 stream with
-    # unweighted metrics (ops/fused_tail.py); anything else runs the XLA tail.
-    fused = fused and not killers and deg16 and not wts
+    # The fused Pallas tail (ops/fused_tail.py) covers every keyed
+    # configuration: deg16/wide, killer-flagged or clean, AA/RA weights via
+    # an in-kernel segmented sum.  NOTE the weighted run totals use a
+    # different (but fixed) f32 summation tree than the XLA
+    # segment_run_totals — equal to f32 rounding, not bit-equal.
 
     if key64:
         # One u64 key carries (w, upay): grouping is BY THE KEY, so the sort
@@ -148,13 +150,16 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
             key64, dpack, *wts = jax.lax.sort(
                 (key64, dpack, *wts), num_keys=1, is_stable=False)
             if fused:
-                # ONE u64 compare gives the run boundaries; the kernel does
-                # the rest (count + score + selection key) in one pass
-                neq = key64[1:] != key64[:-1]
+                # ONE u64 compare gives the run boundaries (killer streams
+                # drop the low flag bit so a run stays whole); the kernel
+                # does the rest (count + score + selection key) in one pass
+                k64 = (key64 >> u64(1)) if killers else key64
+                neq = k64[1:] != k64[:-1]
                 return fused_tail((key64 >> u64(32)).astype(i32),
-                                  (key64 & m32).astype(i32), dpack, neq,
-                                  min_score, metrics=metrics, w_bits=w_bits,
-                                  n=n, maxf2=maxf2)
+                                  (key64 & m32).astype(i32), (dpack,), wts,
+                                  neq, min_score, metrics=metrics,
+                                  w_bits=w_bits, n=n, maxf2=maxf2,
+                                  killers=killers)
             udeg = (dpack >> 16) & 0xFFFF
             wdeg = dpack & 0xFFFF
         else:
@@ -164,6 +169,14 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
                 (key64, dpack64, *wts), num_keys=1, is_stable=False)
             udeg = (dpack64 >> u64(32)).astype(i32)
             wdeg = (dpack64 & m32).astype(i32)
+            if fused:
+                k64 = (key64 >> u64(1)) if killers else key64
+                neq = k64[1:] != k64[:-1]
+                return fused_tail((key64 >> u64(32)).astype(i32),
+                                  (key64 & m32).astype(i32), (udeg, wdeg),
+                                  wts, neq, min_score, metrics=metrics,
+                                  w_bits=w_bits, n=n, maxf2=maxf2,
+                                  killers=killers)
         upay = (key64 & m32).astype(i32)
         key = (key64 >> u64(32)).astype(i32)
     elif deg16:
@@ -171,10 +184,11 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
         key, upay, dpack, *wts = jax.lax.sort(
             (key, upay, dpack, *wts), num_keys=1, is_stable=True)
         if fused:
-            neq = (key[1:] != key[:-1]) | (upay[1:] != upay[:-1])
-            return fused_tail(key, upay, dpack, neq, min_score,
+            src = (upay >> 1) if killers else upay
+            neq = (key[1:] != key[:-1]) | (src[1:] != src[:-1])
+            return fused_tail(key, upay, (dpack,), wts, neq, min_score,
                               metrics=metrics, w_bits=w_bits, n=n,
-                              maxf2=maxf2)
+                              maxf2=maxf2, killers=killers)
         # Mask after the shift: for udeg >= 2^15 the pack sets the int32 sign
         # bit and `>> 16` alone would sign-extend (40000 would come back as
         # -25536, silently corrupting every degree-dependent metric).
@@ -183,6 +197,12 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
     else:
         key, upay, udeg, wdeg, *wts = jax.lax.sort(
             (key, upay, udeg, wdeg, *wts), num_keys=1, is_stable=True)
+        if fused:
+            src = (upay >> 1) if killers else upay
+            neq = (key[1:] != key[:-1]) | (src[1:] != src[:-1])
+            return fused_tail(key, upay, (udeg, wdeg), wts, neq, min_score,
+                              metrics=metrics, w_bits=w_bits, n=n,
+                              maxf2=maxf2, killers=killers)
 
     src = upay if not killers else (upay >> 1)
     neq = (key[1:] != key[:-1]) | (src[1:] != src[:-1])
@@ -269,7 +289,7 @@ def tile_candidates(
     t_start, t_end,
     *, metrics, cap: int, maxf2: int, min_score,
     w_bits: int = 0, deg16: bool = False, upper_only: bool = True,
-    key64: bool = False,
+    key64: bool = False, fused: bool = False,
 ):
     """Edge-stream tile scoring: rebuild the slot mapping on device, then reduce.
 
@@ -339,7 +359,7 @@ def tile_candidates(
         return _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted,
                                   metrics, w_bits=w_bits, n=n, maxf2=maxf2,
                                   min_score=min_score, deg16=deg16,
-                                  key64=key64)
+                                  key64=key64, fused=fused)
 
     # --- sentinel two-key fallback (vertex ids too wide for the packed key) --
     cand = svalid & ((w > u) if upper_only else (w != u))
@@ -693,7 +713,7 @@ def _make_stream_fn(indices, degrees, stream,
                 t_start, t_end,
                 metrics=metrics, cap=cap, maxf2=maxf2, min_score=min_score,
                 w_bits=w_bits, deg16=deg16, upper_only=upper_only,
-                key64=key64,
+                key64=key64, fused=fused,
             )
     return stream_fn
 
@@ -743,8 +763,11 @@ def score_tiles(
     hazards."""
     if fused is None:
         metrics = tuple(METRICS[name] for name in metric_names)
-        fused = fused_tail_enabled() and fused_tail_supported(
-            packed=packed, deg16=deg16, metrics=metrics, cap=cap)
+        # w_bits == 0 selects the sentinel two-key edge sort, whose reduce
+        # shape the kernel does not cover
+        fused = (fused_tail_enabled() and w_bits > 0
+                 and fused_tail_supported(
+                     packed=packed, deg16=deg16, metrics=metrics, cap=cap))
     return _score_tiles_jit(
         indices, degrees, stream, tile_start, min_score,
         metric_names=metric_names, cap=cap, k=k, maxf2=maxf2, w_bits=w_bits,

@@ -77,7 +77,7 @@ def test_kernel_bitwise_vs_xla_tail(rng, metric, cap):
     metrics = (METRICS[metric],)
     ms = jnp.float32(0.0)
     k1, u1, v1 = _xla_tail(hi, lo, dpack, neq, ms, metrics, w_bits, n)
-    k2, u2, v2 = fused_tail(hi, lo, dpack, neq, ms, metrics=metrics,
+    k2, u2, v2 = fused_tail(hi, lo, (dpack,), [], neq, ms, metrics=metrics,
                             w_bits=w_bits, n=n)
     assert jnp.array_equal(k1, k2)
     assert jnp.array_equal(u1, u2)
@@ -90,7 +90,7 @@ def test_kernel_multi_metric_and_min_score(rng):
     metrics = tuple(METRICS[m] for m in UNWEIGHTED)
     ms = jnp.float32(0.25)
     k1, u1, v1 = _xla_tail(hi, lo, dpack, neq, ms, metrics, w_bits, n)
-    k2, u2, v2 = fused_tail(hi, lo, dpack, neq, ms, metrics=metrics,
+    k2, u2, v2 = fused_tail(hi, lo, (dpack,), [], neq, ms, metrics=metrics,
                             w_bits=w_bits, n=n)
     assert jnp.array_equal(k1, k2) and jnp.array_equal(u1, u2) \
         and jnp.array_equal(v1, v2)
@@ -110,7 +110,7 @@ def test_kernel_degenerate_runs(rng):
              | rng.integers(1, 1 << 16, cap)).astype(np.uint32).view(np.int32))
         neq = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
         out1 = _xla_tail(hi, lo, dpack, neq, ms, metrics, w_bits, n)
-        out2 = fused_tail(hi, lo, dpack, neq, ms, metrics=metrics,
+        out2 = fused_tail(hi, lo, (dpack,), [], neq, ms, metrics=metrics,
                           w_bits=w_bits, n=n)
         for a, b in zip(out1, out2):
             assert jnp.array_equal(a, b)
@@ -118,16 +118,30 @@ def test_kernel_degenerate_runs(rng):
 
 def test_supported_predicate():
     mets = (METRICS["jaccard_coefficient"],)
+    # every keyed configuration is covered now; only the cap shape gates
     assert fused_tail_supported(packed=True, deg16=True, metrics=mets,
                                 cap=1024)
-    assert not fused_tail_supported(packed=False, deg16=True, metrics=mets,
-                                    cap=1024)
-    assert not fused_tail_supported(packed=True, deg16=False, metrics=mets,
-                                    cap=1024)
-    assert not fused_tail_supported(
-        packed=True, deg16=True, metrics=(METRICS["adamic_adar"],), cap=1024)
+    assert fused_tail_supported(packed=False, deg16=False,
+                                metrics=(METRICS["adamic_adar"],), cap=1024)
     assert not fused_tail_supported(packed=True, deg16=True, metrics=mets,
                                     cap=96)
+
+
+def test_weighted_and_killers_fused_vs_oracle(rng):
+    """AA/RA (segmented-sum accumulators) and the keyed edge stream (killer
+    flags) ride the fused tail; predict_links stays oracle-exact."""
+    from conftest import random_graph
+    from oracle import oracle_scores
+    from linkpred_tpu import PredictOptions, predict_links
+
+    g = random_graph(rng, 250, 6)
+    for metric, d1 in [("adamic_adar", 0), ("resource_allocation", 16)]:
+        pairs = oracle_scores(g, metric, d1)
+        res = predict_links(g, metric=metric, min_degree1=d1,
+                            options=PredictOptions(max_edges=20_000))
+        assert len(res) == min(20_000, len(pairs))
+        for u, v, s in zip(res.u, res.v, res.score):
+            assert np.isclose(s, pairs[(int(u), int(v))], rtol=1e-5)
 
 
 @pytest.mark.parametrize("key64", [False, True])
