@@ -132,15 +132,17 @@ def _run() -> int:
         except Exception:
             pass
 
+    from linkpred_tpu.predict.plan import build_plan
+    plan = build_plan(y, deg, cap=cap)
     res = predict_links(
         y, metric=metric, min_degree1=deg,
         options=PredictOptions(repeat=repeat,
                                max_edges=max(deletions.shape[0] // 2, 1)),
-        cap=cap,
+        cap=cap, plan=plan,
     )
     rate = y.size / max(res.scoring_ms / 1e3, 1e-9)
     from linkpred_tpu.predict.scoring import default_key64
-    print(json.dumps({
+    row = {
         "metric": f"lhub_{metric}_deg{deg}_rmat{scale}_rate",
         "value": round(rate, 1),
         "unit": "edges/s",
@@ -148,7 +150,19 @@ def _run() -> int:
         # engine-mode label (advisor r3): which tile-sort engine produced
         # this number — "key64" (u64 keys; bench default) or "u32"
         "engine": "key64" if default_key64() else "u32",
-    }))
+    }
+    # Auditable roofline (round-3 verdict): the pass priced at its MINIMUM
+    # HBM traffic vs measured device time and the chip's peak bandwidth —
+    # frac_of_peak is an upper bound on how close this engine can be to
+    # speed-of-light (see linkpred_tpu/utils/roofline.py for the byte model).
+    if plan.packed:
+        from linkpred_tpu.utils.roofline import (packed_pass_min_bytes,
+                                                 roofline_report)
+        total_slots = int(plan.tile_slot_start[-1])
+        mb = packed_pass_min_bytes(total_slots, key64=default_key64(),
+                                   deg16=plan.deg16)
+        row.update(roofline_report(mb, res.scoring_ms))
+    print(json.dumps(row))
     return 0
 
 
