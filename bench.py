@@ -54,15 +54,13 @@ def main() -> int:
             print("bench: TPU not ready; waiting 120s", file=sys.stderr)
             time.sleep(120)
         env = dict(os.environ, BENCH_INNER="1")
-        # The bench runs the engine in its fastest mode: the u64-key tile
-        # sort (key64 — the FULL ~175-test suite runs in this mode via
-        # scripts/ci.sh leg 2, plus dedicated differential tests).  Measured
-        # on v5e: s19 136.5 -> 149.9M, s21 55.8 -> 58.9M edges/s vs the u32
-        # engine.  Override with BENCH_KEY64=0 to bench the u32 mode.  The
-        # emitted JSON labels the mode in the "engine" field.
-        if os.environ.get("BENCH_KEY64", "1") == "1":
-            env.setdefault("LINKPRED_KEY64", "1")
-            env.setdefault("JAX_ENABLE_X64", "1")
+        # key64 (the u64-key tile sort) is the library default engine —
+        # measured on v5e: s19 136.5 -> 149.9M, s21 55.8 -> 58.9M edges/s vs
+        # the u32 engine — and no longer needs the process-global x64 flag.
+        # Override with BENCH_KEY64=0 to bench the u32 mode.  The emitted
+        # JSON labels the mode in the "engine" field.
+        if os.environ.get("BENCH_KEY64", "1") != "1":
+            env.setdefault("LINKPRED_KEY64", "0")
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
         if r.returncode == 0:
             return 0

@@ -121,8 +121,9 @@ def predict_links_multi(
 ) -> dict:
     """Predict links for SEVERAL metrics in one fused pass.
 
-    ``key64``: engine mode — ``True`` selects the u64-key tile sort (requires
-    ``JAX_ENABLE_X64``; the bench default, ~24% faster tile sorts at scale),
+    ``key64``: engine mode — ``True`` selects the u64-key tile sort (the
+    library default, ~24% faster tile sorts at scale; u64 dtypes are created
+    under a trace-local ``jax.enable_x64`` so no global flag is needed),
     ``False`` the u32 three-operand engine, ``None`` (default) resolves from
     ``LINKPRED_KEY64``.  Both modes are call state and coexist in one process.
 

@@ -45,23 +45,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# 64-bit-key engine mode (requires JAX_ENABLE_X64=1): the tile sort packs
+# 64-bit-key engine mode (THE LIBRARY DEFAULT): the tile sort packs
 # (w, src) into ONE u64 key — 2 sort operands instead of 3 (deg16) or packs
 # the degree pair into a u64 payload — 2 instead of 4 (wide degrees).
 # Grouping by the composite key makes sort stability unnecessary (intra-run
 # payload order is irrelevant: degrees are constant within a run and the
 # AA/RA weights are summed).  Measured on v5e: operand COUNT dominates
 # lax.sort cost (3x u32 -> 2x u32 is -26%), and the u64 tile sort is -24% at
-# s21 — the bench default.  The mode is CALL STATE (a static jit arg threaded
-# from the API), not an import-time global: both engines coexist in one
-# process, so the full oracle/differential/mesh suite runs either mode
-# (LINKPRED_KEY64=1 JAX_ENABLE_X64=1 pytest tests/ — see scripts/ci.sh).
+# s21.  The u64 dtypes are created under a TRACE-LOCAL jax.enable_x64(True)
+# context (no process-global x64 flag needed or touched), so key64 is now the
+# LIBRARY DEFAULT (LINKPRED_KEY64=0 restores the u32 engine).  The mode is
+# CALL STATE (a static jit arg threaded from the API), not an import-time
+# global: both engines coexist in one process, and the full
+# oracle/differential/mesh suite runs both modes via scripts/ci.sh.
 
 
 def default_key64() -> bool:
-    """Engine-mode default, read from ``LINKPRED_KEY64`` at CALL time (so a
-    test or harness can flip modes without reimporting)."""
-    return _os.environ.get("LINKPRED_KEY64", "0") == "1"
+    """Engine-mode default (key64, the faster engine), read from
+    ``LINKPRED_KEY64`` at CALL time (so a test or harness can flip modes
+    without reimporting)."""
+    return _os.environ.get("LINKPRED_KEY64", "1") == "1"
 
 from ..graph import CSRGraph
 from ..ops.fused_tail import (fused_tail, fused_tail_enabled,
@@ -137,48 +140,48 @@ def _keyed_sort_reduce(key, upay, udeg, wdeg, wts, weighted, metrics,
         # needs no stability (payloads within a run are a constant degree pack
         # or summed weights), and the killer flag in upay's low bit keeps
         # killers first within their run by VALUE rather than by stream order.
-        if not jax.config.jax_enable_x64:
-            raise RuntimeError("the key64 engine requires JAX_ENABLE_X64=1")
-        u64 = jnp.uint64
-        m32 = u64(0xFFFFFFFF)
-        # zero-extend via uint32 (pad lanes may carry junk; int32 sign
-        # extension would smear high bits into the w field)
-        key64 = (key.astype(jnp.uint32).astype(u64) << u64(32)) \
-            | upay.astype(jnp.uint32).astype(u64)
-        if deg16:
-            dpack = udeg if predpacked else ((udeg << 16) | wdeg)
-            key64, dpack, *wts = jax.lax.sort(
-                (key64, dpack, *wts), num_keys=1, is_stable=False)
+        # The u64 types are created under a TRACE-LOCAL jax.enable_x64(True)
+        # context, so the engine no longer needs (or changes) the
+        # process-global x64 flag — no u64 escapes this block (everything is
+        # extracted back to 32-bit before the context closes).
+        with jax.enable_x64(True):
+            u64 = jnp.uint64
+            m32 = u64(0xFFFFFFFF)
+            # zero-extend via uint32 (pad lanes may carry junk; int32 sign
+            # extension would smear high bits into the w field)
+            key64 = (key.astype(jnp.uint32).astype(u64) << u64(32)) \
+                | upay.astype(jnp.uint32).astype(u64)
+            if deg16:
+                dpack = udeg if predpacked else ((udeg << 16) | wdeg)
+                key64, dpack, *wts = jax.lax.sort(
+                    (key64, dpack, *wts), num_keys=1, is_stable=False)
+                fdegs = (dpack,)
+            else:
+                dpack64 = (udeg.astype(jnp.uint32).astype(u64) << u64(32)) \
+                    | wdeg.astype(jnp.uint32).astype(u64)
+                key64, dpack64, *wts = jax.lax.sort(
+                    (key64, dpack64, *wts), num_keys=1, is_stable=False)
+                udeg = (dpack64 >> u64(32)).astype(i32)
+                wdeg = (dpack64 & m32).astype(i32)
+                fdegs = (udeg, wdeg)
             if fused:
                 # ONE u64 compare gives the run boundaries (killer streams
-                # drop the low flag bit so a run stays whole); the kernel
-                # does the rest (count + score + selection key) in one pass
+                # drop the low flag bit so a run stays whole)
                 k64 = (key64 >> u64(1)) if killers else key64
-                neq = k64[1:] != k64[:-1]
-                return fused_tail((key64 >> u64(32)).astype(i32),
-                                  (key64 & m32).astype(i32), (dpack,), wts,
-                                  neq, min_score, metrics=metrics,
-                                  w_bits=w_bits, n=n, maxf2=maxf2,
-                                  killers=killers)
-            udeg = (dpack >> 16) & 0xFFFF
-            wdeg = dpack & 0xFFFF
-        else:
-            dpack64 = (udeg.astype(jnp.uint32).astype(u64) << u64(32)) \
-                | wdeg.astype(jnp.uint32).astype(u64)
-            key64, dpack64, *wts = jax.lax.sort(
-                (key64, dpack64, *wts), num_keys=1, is_stable=False)
-            udeg = (dpack64 >> u64(32)).astype(i32)
-            wdeg = (dpack64 & m32).astype(i32)
-            if fused:
-                k64 = (key64 >> u64(1)) if killers else key64
-                neq = k64[1:] != k64[:-1]
-                return fused_tail((key64 >> u64(32)).astype(i32),
-                                  (key64 & m32).astype(i32), (udeg, wdeg),
-                                  wts, neq, min_score, metrics=metrics,
-                                  w_bits=w_bits, n=n, maxf2=maxf2,
-                                  killers=killers)
-        upay = (key64 & m32).astype(i32)
-        key = (key64 >> u64(32)).astype(i32)
+                fneq = k64[1:] != k64[:-1]
+                fhi = (key64 >> u64(32)).astype(i32)
+                flo = (key64 & m32).astype(i32)
+            else:
+                if deg16:
+                    udeg = (dpack >> 16) & 0xFFFF
+                    wdeg = dpack & 0xFFFF
+                upay = (key64 & m32).astype(i32)
+                key = (key64 >> u64(32)).astype(i32)
+        if fused:
+            # the kernel does the rest (count + score + selection key)
+            return fused_tail(fhi, flo, fdegs, wts, fneq, min_score,
+                              metrics=metrics, w_bits=w_bits, n=n,
+                              maxf2=maxf2, killers=killers)
     elif deg16:
         dpack = udeg if predpacked else ((udeg << 16) | wdeg)
         key, upay, dpack, *wts = jax.lax.sort(

@@ -146,8 +146,6 @@ def test_weighted_and_killers_fused_vs_oracle(rng):
 
 @pytest.mark.parametrize("key64", [False, True])
 def test_score_tiles_fused_equals_unfused(rng, key64):
-    if key64 and not jax.config.jax_enable_x64:
-        pytest.skip("key64 needs x64 (run via the LINKPRED_KEY64=1 CI axis)")
     from conftest import random_graph
     from linkpred_tpu.predict.plan import build_plan
 

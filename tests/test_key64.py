@@ -1,8 +1,10 @@
 """Oracle-exactness of the u64-key engine (key64 mode).
 
 The engine mode is CALL STATE (`predict_links(..., key64=...)`, resolved from
-``LINKPRED_KEY64`` when unset) — see scoring.py `default_key64`.  The u64 key
-dtype still needs the process-global ``JAX_ENABLE_X64``:
+``LINKPRED_KEY64`` when unset) — see scoring.py `default_key64`.  The engine
+creates its u64 dtypes under a trace-local ``jax.enable_x64``, so no
+process-global flag is required (leg 3 of scripts/ci.sh still covers the
+global-x64 interplay):
 
 * `test_key64_engine_oracle_exact` bootstraps a child process with the env
   default (covers the env-resolution path on the u32-mode CI leg);
@@ -39,11 +41,6 @@ def test_key64_engine_oracle_exact():
 def test_both_engine_modes_coexist_in_process(rng):
     """u32 and u64 engines run in one process and agree prediction-for-
     prediction (the VERDICT r3 ask: engine mode as plan/call state)."""
-    import jax
-
-    if not jax.config.jax_enable_x64:
-        pytest.skip("u64 keys need JAX_ENABLE_X64 (the LINKPRED_KEY64=1 CI "
-                    "leg enables it; scripts/ci.sh runs both legs)")
     from conftest import random_graph
 
     from linkpred_tpu import PredictOptions, predict_links
