@@ -44,8 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pack_survivors", "sample_threshold", "PACK_CHUNK", "PACK_RATIO"]
 
-PACK_CHUNK = 1 << 17          # lanes per kernel chunk (1024 rows x 128)
-PACK_RATIO = 8                # output block = chunk / PACK_RATIO lanes
+# Chunk/budget sizing: survivors CLUSTER in hub tiles (measured at the s21
+# bench shape: global survivors 1.29x k, but the worst 2^17-lane chunk held
+# 23.9k survivors = 18% of its lanes — chunk/8 budgets overflowed and the
+# cond fell back).  Bigger windows pool the slack: a 2^18-lane chunk with a
+# chunk/4 budget tolerates 25% local clustering.  Env-overridable for A/Bs.
+PACK_CHUNK = 1 << int(os.environ.get("LINKPRED_PACK_CHUNK_LOG2", "18"))
+PACK_RATIO = int(os.environ.get("LINKPRED_PACK_RATIO", "4"))
 _ROWS = PACK_CHUNK // 128
 
 
@@ -56,13 +61,18 @@ def _flat_shift_left(x, s: int, rows: int, fill):
     i32 = jnp.int32
     lanes = jax.lax.broadcasted_iota(i32, (rows, 128), 1)
     sr, sl = divmod(s, 128)
+    # circular left-roll spelled with POSITIVE shifts (size - s): negative
+    # pltpu.roll shifts crash this host's Mosaic compile helper
+    rr = (rows - sr) % rows
     if sl == 0:
-        a = pltpu.roll(x, np.int32(-sr), 0)
+        a = pltpu.roll(x, np.int32(rr), 0) if rr else x
     else:
         # value at flat +s = (r+sr, l+sl), overflowing into row r+sr+1
-        same = pltpu.roll(pltpu.roll(x, np.int32(-sr), 0), np.int32(-sl), 1)
-        nxt = pltpu.roll(pltpu.roll(x, np.int32(-(sr + 1)), 0),
-                         np.int32(-sl), 1)
+        r1 = pltpu.roll(x, np.int32(rr), 0) if rr else x
+        rr2 = (rows - sr - 1) % rows
+        r2 = pltpu.roll(x, np.int32(rr2), 0) if rr2 else x
+        same = pltpu.roll(r1, np.int32(128 - sl), 1)
+        nxt = pltpu.roll(r2, np.int32(128 - sl), 1)
         a = jnp.where(lanes < 128 - sl, same, nxt)
     return jnp.where(_flat_pos(rows) < rows * 128 - s, a, fill)
 
@@ -74,7 +84,7 @@ def _flat_pos(rows: int):
     return r * 128 + l
 
 
-def _pack_kernel(thr_ref, key_ref, out_key_ref, out_idx_ref, cnt_ref,
+def _pack_kernel(thr_ref, key_ref, out_key_ref, out_idx_ref,
                  *, rows: int, out_rows: int):
     i32 = jnp.int32
     u32 = jnp.uint32
@@ -100,31 +110,32 @@ def _pack_kernel(thr_ref, key_ref, out_key_ref, out_idx_ref, cnt_ref,
         rte = jnp.where(rws >= s, rte + pltpu.roll(rte, np.int32(s), 0), rte)
         s *= 2
     rank = x + rte - 1                     # inclusive cumsum - 1
-    cnt_ref[0] = jnp.sum(keep.astype(i32))
 
     # LSB-first binary-shift routing (see module docstring for the
-    # collision-freedom argument)
+    # collision-freedom argument).  The liveness mask travels as i32 0/1 —
+    # Mosaic cannot rotate i1 vectors ("Rotate with non-32-bit data").
     d = jnp.where(keep, pos - rank, i32(0))
-    live = keep
+    live = keep.astype(i32)
     vk = key
     vi = gidx
     dead_k = u32(0xFFFFFFFF)
     s = 1
     while s < rows * 128:
-        m_live = _flat_shift_left(live, s, rows, False)
+        m_live = _flat_shift_left(live, s, rows, i32(0))
         m_d = _flat_shift_left(d, s, rows, i32(0))
-        arrives = m_live & ((m_d & s) != 0)
-        stays = live & ((d & s) == 0)
+        arrives = (m_live != 0) & ((m_d & s) != 0)
+        stays = (live != 0) & ((d & s) == 0)
         vk = jnp.where(arrives, _flat_shift_left(vk, s, rows, dead_k),
                        jnp.where(stays, vk, dead_k))
         vi = jnp.where(arrives, _flat_shift_left(vi, s, rows, i32(0)),
                        jnp.where(stays, vi, i32(0)))
         d = jnp.where(arrives, m_d - s, d)
-        live = arrives | stays
+        live = (arrives | stays).astype(i32)
         s *= 2
 
-    out_key_ref[...] = jnp.where(live[:out_rows], vk[:out_rows], dead_k)
-    out_idx_ref[...] = jnp.where(live[:out_rows], vi[:out_rows], i32(0))
+    alive = live[:out_rows] != 0
+    out_key_ref[...] = jnp.where(alive, vk[:out_rows], dead_k)
+    out_idx_ref[...] = jnp.where(alive, vi[:out_rows], i32(0))
 
 
 def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
@@ -141,6 +152,7 @@ def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
     total = key.shape[0]
     rows = chunk // 128
     assert rows * 128 == chunk and rows % ratio == 0, (chunk, ratio)
+    assert (rows // ratio) % 8 == 0, (chunk, ratio)  # sublane-tiled blocks
     nch = total // chunk
     assert nch * chunk == total, (total, chunk)
     out_rows = rows // ratio
@@ -152,23 +164,25 @@ def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
                            memory_space=pltpu.VMEM)
     interpret = jax.default_backend() == "cpu"
     with jax.enable_x64(False):   # gridded pallas under x64: see fused_tail
-        pk, pidx, cnt = pl.pallas_call(
+        pk, pidx = pl.pallas_call(
             kern,
             grid=(nch,),
             in_specs=[pl.BlockSpec((1, 1), lambda c: (0, 0),
                                    memory_space=pltpu.SMEM),
                       blk_in],
-            out_specs=[blk_out, blk_out,
-                       pl.BlockSpec((1,), lambda c: (c,),
-                                    memory_space=pltpu.SMEM)],
+            out_specs=[blk_out, blk_out],
             out_shape=[jax.ShapeDtypeStruct((nch * out_rows, 128),
                                             jnp.uint32),
                        jax.ShapeDtypeStruct((nch * out_rows, 128),
-                                            jnp.int32),
-                       jax.ShapeDtypeStruct((nch,), jnp.int32)],
+                                            jnp.int32)],
             interpret=interpret,
         )(jnp.reshape(threshold.astype(jnp.uint32), (1, 1)),
           key.reshape(rows * nch, 128))
+    # per-chunk survivor counts via one XLA reduction over the same predicate
+    # (a per-chunk SMEM output would need an unsupported (1,1) block of a
+    # (nch,1) array on the TPU lowering)
+    cnt = jnp.sum((key.reshape(nch, chunk) <= threshold.astype(key.dtype))
+                  .astype(jnp.int32), axis=1)
     return pk.reshape(-1), pidx.reshape(-1), cnt
 
 

@@ -114,35 +114,41 @@ def _seg_sum_scan(wt, is_start, lanes, rows_iota, chr_rows, carry):
     """Two-level SEGMENTED inclusive sum: resets at ``is_start``; lanes
     before the chunk's first boundary continue the previous chunk's run via
     the scalar ``carry``.  Returns (per-lane within-run inclusive sums,
-    chunk-end running value for the next carry)."""
-    f = is_start
+    chunk-end running value for the next carry).  Segment flags are carried
+    as i32 0/1 — Mosaic cannot rotate i1 vectors ("Rotate with non-32-bit
+    data")."""
+    i32 = jnp.int32
+    f = is_start.astype(i32)
     v = wt
     s = 1
     while s < 128:
         mask = lanes >= s
         rf = pltpu.roll(f, np.int32(s), 1)
         rv = pltpu.roll(v, np.int32(s), 1)
-        v = jnp.where(mask & ~f, v + rv, v)
-        f = f | (mask & rf)
+        v = jnp.where(mask & (f == 0), v + rv, v)
+        f = jnp.where(mask, f | rf, f)
         s *= 2
     # row aggregates: last lane's (f, v) per row
     fr = jnp.broadcast_to(f[:, 127:128], (chr_rows, 128))
     vr = jnp.broadcast_to(v[:, 127:128], (chr_rows, 128))
-    # exclusive down rows, seeded by (False, carry)
+    # exclusive down rows, seeded by (0, carry)
     fe = pltpu.roll(fr, np.int32(1), 0)
     ve = pltpu.roll(vr, np.int32(1), 0)
-    fe = jnp.where(rows_iota >= 1, fe, False)
+    fe = jnp.where(rows_iota >= 1, fe, i32(0))
     ve = jnp.where(rows_iota >= 1, ve, carry)
     s = 1
     while s < chr_rows:
         mask = rows_iota >= s
         rf = pltpu.roll(fe, np.int32(s), 0)
         rv = pltpu.roll(ve, np.int32(s), 0)
-        ve = jnp.where(mask & ~fe, ve + rv, ve)
-        fe = fe | (mask & rf)
+        ve = jnp.where(mask & (fe == 0), ve + rv, ve)
+        fe = jnp.where(mask, fe | rf, fe)
         s *= 2
-    out = jnp.where(f, v, v + ve)
-    return out, out[chr_rows - 1, 127]
+    out = jnp.where(f != 0, v, v + ve)
+    # chunk-end running value via a masked reduction (scalar element reads
+    # from VMEM vectors don't lower reliably)
+    last = (rows_iota == chr_rows - 1) & (lanes == 127)
+    return out, jnp.sum(jnp.where(last, out, 0.0))
 
 
 def _tail_kernel(ms_ref, flags_ref, hi_ref, lo_ref, *refs,
@@ -184,7 +190,7 @@ def _tail_kernel(ms_ref, flags_ref, hi_ref, lo_ref, *refs,
         v0 = jnp.where(is_start, gidx, i32(0))
     m, _ = _lane_row_scan(v0, lanes, rows_iota, chr_rows, carry_ref[0],
                           op=jnp.maximum)
-    carry_ref[0] = m[chr_rows - 1, 127]
+    carry_ref[0] = jnp.max(m)     # cummax => the last element IS the max
     if killers:
         start = m >> 1
         alive = (m & 1) == 1

@@ -478,9 +478,15 @@ def _argselect_packed(key, idx, kk: int):
     pk, pidx, cnt = pack_survivors(key, thr)
     w = PACK_CHUNK // PACK_RATIO
     ok = (jnp.sum(cnt) >= kk) & (jnp.max(cnt) <= w)
+    if _os.environ.get("LINKPRED_SEL_PACK_DEBUG", "0") == "1":
+        jax.debug.print(
+            "sel_pack: kk={k} survivors={s} max_chunk={m} budget={w} ok={o}",
+            k=kk, s=jnp.sum(cnt), m=jnp.max(cnt), w=w, o=ok)
 
     def packed_path():
-        sk, si = jax.lax.sort((pk, pidx), num_keys=1, is_stable=False)
+        # blocked sorts over the packed buffer — a single flat sort of
+        # total/RATIO lanes pays lax.sort's superlinear per-lane cost
+        sk, si = _argselect_blocked(pk, pidx, kk)
         return sk[:kk], si[:kk]
 
     def fallback():

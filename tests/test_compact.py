@@ -13,7 +13,7 @@ from linkpred_tpu.ops import compact
 from linkpred_tpu.ops.compact import pack_survivors, sample_threshold
 
 CHUNK = 1 << 11     # 16 rows x 128 — small for interpret mode
-RATIO = 4
+RATIO = 2   # out blocks keep >= 8 sublanes (the TPU lowering's block rule)
 
 
 def _oracle_pack(key, thr, chunk, ratio):
@@ -85,6 +85,7 @@ def test_argselect_packed_equals_blocked(rng, monkeypatch):
     from linkpred_tpu.predict import scoring
 
     monkeypatch.setattr(compact, "PACK_CHUNK", CHUNK)
+    monkeypatch.setattr(compact, "PACK_RATIO", RATIO)
     total = CHUNK * 8
     kk = 300
     # realistic selection keys: descending-score keys with an -inf spread mass
@@ -111,6 +112,7 @@ def test_argselect_packed_fallback_on_ties(rng, monkeypatch):
     from linkpred_tpu.predict import scoring
 
     monkeypatch.setattr(compact, "PACK_CHUNK", CHUNK)
+    monkeypatch.setattr(compact, "PACK_RATIO", RATIO)
     total = CHUNK * 4
     kk = 64
     scores = np.full(total, 0.5, np.float32)           # all equal
