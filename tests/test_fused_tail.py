@@ -178,6 +178,46 @@ def test_score_tiles_fused_equals_unfused(rng, key64):
         assert pairs_a == pairs_b
 
 
+@pytest.mark.parametrize("metric", ["adamic_adar", "resource_allocation"])
+@pytest.mark.parametrize("key64", [False, True])
+def test_weighted_fused_vs_unfused_within_ulps(rng, key64, metric):
+    """The fused kernel's segmented weight sums use a different (but fixed)
+    f32 summation order than XLA's segment_run_totals, so fused vs unfused
+    weighted scores are documented as equal-to-f32-rounding rather than
+    bit-equal (fused_tail.py module docstring).  Pin that bound: measured on
+    this IHub-maximal stream the divergence is <= 2 ulp (8 of ~121k scores at
+    exactly 2.0 ulp, the rest bit-equal or 1 ulp) — summation-order noise.
+    Any wider divergence is a logic bug, not rounding, and fails here.
+    (Advisor r4.)"""
+    from conftest import random_graph
+    from linkpred_tpu.predict.plan import build_plan
+
+    g = random_graph(rng, 800, 10)
+    plan = build_plan(g, 0, cap=1 << 10)   # IHub: maximal weighted runs
+    assert plan.packed, "test premise: packed plan"
+    stream, ts = plan.device_stream()
+    deg = jnp.asarray(g.degrees)
+    dummy = jnp.zeros((1,), jnp.int32)
+    # k = all lanes: cutoff membership can't hide a divergent score
+    k = plan.num_tiles_padded * plan.cap
+    kwargs = dict(metric_names=(metric,), cap=plan.cap, k=k,
+                  w_bits=plan.w_bits, packed=True, deg16=plan.deg16,
+                  key64=key64)
+    t_unf = score_tiles(dummy, deg, stream, ts, jnp.float32(0.0),
+                        fused=False, **kwargs)
+    t_fus = score_tiles(dummy, deg, stream, ts, jnp.float32(0.0),
+                        fused=True, **kwargs)
+    sa = np.sort(np.asarray(t_unf.scores[0]))
+    sb = np.sort(np.asarray(t_fus.scores[0]))
+    fa, fb = sa[np.isfinite(sa)], sb[np.isfinite(sb)]
+    assert fa.shape == fb.shape, "finite-score counts differ"
+    assert fa.size > 100, "test premise: enough weighted runs to matter"
+    np.testing.assert_array_compare(
+        lambda a, b: np.abs(a - b) <= 2 * np.spacing(np.maximum(np.abs(a),
+                                                                np.abs(b))),
+        fa, fb, err_msg="fused/unfused weighted scores differ by > 2 ulp")
+
+
 def test_predict_links_fused_on_off_identical(rng, monkeypatch):
     """Full predict_links with LINKPRED_FUSED_TAIL on vs off: same results."""
     from conftest import random_graph
