@@ -5,10 +5,13 @@ web-scale graph (`/root/reference/README.md:9,17`: 38.1 M edges/s, LHub, sk-2005
 0.1|E| removed, 64 hub threshold is the best-F1 regime). With no network egress we
 use an R-MAT graph with matching power-law skew; rate = |E_directed| / scoring time.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+"value" is the MEDIAN of BENCH_SAMPLES in-process samples (post-compile) and
+"rate_min"/"rate_max" carry the spread — single samples on this host sit in a
+measured ±15% band, so cross-run deltas need the median to mean anything.
 Env knobs: BENCH_SCALE (default 19), BENCH_METRIC (jaccard_coefficient),
-BENCH_DEG (64), BENCH_REPEAT (5), BENCH_WAIT_S (max seconds to wait for the
-TPU to come back after a relay outage, default 2400).
+BENCH_DEG (64), BENCH_REPEAT (5), BENCH_SAMPLES (3), BENCH_WAIT_S (max
+seconds to wait for the TPU to come back after a relay outage, default 2400).
 
 Scale default: RMAT-19.  Larger R-MATs skew harder, so the LHub hub-skip
 removes more of the expansion — exactly the regime the reference's sk-2005
@@ -132,13 +135,22 @@ def _run() -> int:
 
     from linkpred_tpu.predict.plan import build_plan
     plan = build_plan(y, deg, cap=cap)
-    res = predict_links(
-        y, metric=metric, min_degree1=deg,
-        options=PredictOptions(repeat=repeat,
-                               max_edges=max(deletions.shape[0] // 2, 1)),
-        cap=cap, plan=plan,
-    )
-    rate = y.size / max(res.scoring_ms / 1e3, 1e-9)
+    # Statistical headline (round-4 verdict #4): the single-sample headline sat
+    # inside a measured ±15% run-to-run band, making every cross-round delta a
+    # coin flip.  One process now takes BENCH_SAMPLES (>=3) timed samples after
+    # the shared compile (each sample itself averages BENCH_REPEAT executions,
+    # reference REPEAT_METHOD protocol) and reports the MEDIAN with min/max.
+    samples = max(int(os.environ.get("BENCH_SAMPLES", "3")), 1)
+    opts = PredictOptions(repeat=repeat,
+                          max_edges=max(deletions.shape[0] // 2, 1))
+    rates = []
+    for _ in range(samples):
+        res = predict_links(y, metric=metric, min_degree1=deg,
+                            options=opts, cap=cap, plan=plan)
+        rates.append(y.size / max(res.scoring_ms / 1e3, 1e-9))
+    rates.sort()
+    rate = rates[len(rates) // 2] if samples % 2 else \
+        (rates[samples // 2 - 1] + rates[samples // 2]) / 2
     from linkpred_tpu.predict.scoring import default_key64
     row = {
         "metric": f"lhub_{metric}_deg{deg}_rmat{scale}_rate",
@@ -148,18 +160,31 @@ def _run() -> int:
         # engine-mode label (advisor r3): which tile-sort engine produced
         # this number — "key64" (u64 keys; bench default) or "u32"
         "engine": "key64" if default_key64() else "u32",
+        "samples": samples,
+        "rate_min": round(rates[0], 1),
+        "rate_max": round(rates[-1], 1),
     }
     # Auditable roofline (round-3 verdict): the pass priced at its MINIMUM
     # HBM traffic vs measured device time and the chip's peak bandwidth —
     # frac_of_peak is an upper bound on how close this engine can be to
     # speed-of-light (see linkpred_tpu/utils/roofline.py for the byte model).
+    # Priced at the RESOLVED run config (advisor r4: metric weighting and the
+    # fused/pack engine toggles change the byte model).
     if plan.packed:
+        from linkpred_tpu.ops.fused_tail import fused_tail_enabled
+        from linkpred_tpu.predict.metrics import get_metric
+        from linkpred_tpu.predict.scoring import _sel_pack_enabled
         from linkpred_tpu.utils.roofline import (packed_pass_min_bytes,
                                                  roofline_report)
         total_slots = int(plan.tile_slot_start[-1])
-        mb = packed_pass_min_bytes(total_slots, key64=default_key64(),
-                                   deg16=plan.deg16)
-        row.update(roofline_report(mb, res.scoring_ms))
+        spec = get_metric(metric)
+        mb = packed_pass_min_bytes(
+            total_slots, num_metrics=1,
+            weighted=int(spec.needs_weight),
+            key64=default_key64(), deg16=plan.deg16,
+            fused=fused_tail_enabled(), sel_pack=_sel_pack_enabled())
+        median_ms = y.size / rate * 1e3
+        row.update(roofline_report(mb, median_ms))
     print(json.dumps(row))
     return 0
 

@@ -51,7 +51,7 @@ if os.environ.get("DIAG_PACK", "1") == "1":
     cap = plan.cap
     lanes_total = t_pad * cap
     kk = min(k, lanes_total)
-    engaged = (lanes_total >= (1 << 22)
+    engaged = (lanes_total >= scoring._sel_pack_min()
                and kk * 4 <= lanes_total // PACK_RATIO)
     print(f"selection lanes={lanes_total} kk={kk} engage={engaged}",
           flush=True)

@@ -112,28 +112,28 @@ def _pack_kernel(thr_ref, key_ref, out_key_ref, out_idx_ref,
     rank = x + rte - 1                     # inclusive cumsum - 1
 
     # LSB-first binary-shift routing (see module docstring for the
-    # collision-freedom argument).  The liveness mask travels as i32 0/1 —
-    # Mosaic cannot rotate i1 vectors ("Rotate with non-32-bit data").
-    d = jnp.where(keep, pos - rank, i32(0))
-    live = keep.astype(i32)
+    # collision-freedom argument).  Liveness rides d's SIGN (-1 = dead lane):
+    # one shifted operand per step instead of two — a separate i32 0/1 mask
+    # army measured 16.31 MB of Mosaic scoped VMEM at the s19 bench shape,
+    # 320 KB past the 16 MB budget (found by the round-5 A/B campaign: the
+    # unfused-tail + pack config failed to compile).
+    d = jnp.where(keep, pos - rank, i32(-1))
     vk = key
     vi = gidx
     dead_k = u32(0xFFFFFFFF)
     s = 1
     while s < rows * 128:
-        m_live = _flat_shift_left(live, s, rows, i32(0))
-        m_d = _flat_shift_left(d, s, rows, i32(0))
-        arrives = (m_live != 0) & ((m_d & s) != 0)
-        stays = (live != 0) & ((d & s) == 0)
+        m_d = _flat_shift_left(d, s, rows, i32(-1))
+        arrives = (m_d >= 0) & ((m_d & s) != 0)
+        stays = (d >= 0) & ((d & s) == 0)
         vk = jnp.where(arrives, _flat_shift_left(vk, s, rows, dead_k),
                        jnp.where(stays, vk, dead_k))
         vi = jnp.where(arrives, _flat_shift_left(vi, s, rows, i32(0)),
                        jnp.where(stays, vi, i32(0)))
-        d = jnp.where(arrives, m_d - s, d)
-        live = (arrives | stays).astype(i32)
+        d = jnp.where(arrives, m_d - s, jnp.where(stays, d, i32(-1)))
         s *= 2
 
-    alive = live[:out_rows] != 0
+    alive = d[:out_rows] >= 0
     out_key_ref[...] = jnp.where(alive, vk[:out_rows], dead_k)
     out_idx_ref[...] = jnp.where(alive, vi[:out_rows], i32(0))
 
@@ -175,6 +175,13 @@ def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
                                             jnp.uint32),
                        jax.ShapeDtypeStruct((nch * out_rows, 128),
                                             jnp.int32)],
+            # headroom over Mosaic's 16 MB default: the 18-step routing
+            # unroll's temporaries are at the compiler's scheduling mercy,
+            # and one borderline schedule already cost a bench config (the
+            # chip's physical VMEM comfortably exceeds this; the bitonic
+            # probes ran at 100 MB on this host)
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024),
             interpret=interpret,
         )(jnp.reshape(threshold.astype(jnp.uint32), (1, 1)),
           key.reshape(rows * nch, 128))

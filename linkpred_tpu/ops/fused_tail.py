@@ -65,6 +65,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..predict.metrics import maxf2_mask
+
 __all__ = ["fused_tail_enabled", "fused_tail_supported", "fused_tail"]
 
 # rows (x128 lanes) per kernel chunk; 1024 rows = 2^17 lanes ≈ 0.5 MB per
@@ -211,8 +213,9 @@ def _tail_kernel(ms_ref, flags_ref, hi_ref, lo_ref, *refs,
     if alive is not None:
         valid &= alive
     if maxf2:
-        # reference MAXFACTOR2 predicate as written (predict.hxx:221,295)
-        valid &= (du <= maxf2 * du) & (dw <= maxf2 * du)
+        # single source of truth: metrics.maxf2_mask (elementwise, so the
+        # Pallas kernel body can share the XLA tail's / host oracle's code)
+        valid &= maxf2_mask(du, dw, maxf2)
 
     accs = {}
     for i, metric in enumerate(m for m in metrics if m.needs_weight):
@@ -276,14 +279,6 @@ def fused_tail(hi, lo, degs, wts, neq, min_score, *, metrics, w_bits: int,
 
     flags = _flags_from_sorted(neq)
 
-    # The kernel is traced from deep inside jit -> scan(unroll) -> cond; the
-    # default 1000-frame recursion budget is mostly spent by then and
-    # pallas_call's kernel-to-jaxpr trace blows it (RecursionError inside
-    # jax.util.weakrefs_to_sentinel).  Raising the limit here is the same
-    # remedy JAX applies for deep jaxpr work.
-    if sys.getrecursionlimit() < 20000:
-        sys.setrecursionlimit(20000)
-
     shp2 = (rows_total, 128)
     blk = pl.BlockSpec((chr_rows, 128), lambda c: (c, 0),
                        memory_space=pltpu.VMEM)
@@ -293,21 +288,35 @@ def fused_tail(hi, lo, degs, wts, neq, min_score, *, metrics, w_bits: int,
                    maxf2=maxf2, metrics=tuple(metrics), wide=wide,
                    killers=killers)
     n_in = 2 + len(degs) + n_wt          # flags, hi, lo(+degs)(+wts)
-    with jax.enable_x64(False):
-        outs = pl.pallas_call(
-            kern,
-            grid=(nch,),
-            in_specs=[pl.BlockSpec((1, 1), lambda c: (0, 0),
-                                   memory_space=pltpu.SMEM)]
-                     + [blk] * (n_in + 1),
-            out_specs=[blk] * (len(metrics) + 2),
-            out_shape=out_shape,
-            scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
-                            pltpu.SMEM((max(n_wt, 1),), jnp.float32)],
-            interpret=_interpret(),
-        )(jnp.reshape(min_score.astype(jnp.float32), (1, 1)),
-          flags.reshape(shp2), hi.reshape(shp2), lo.reshape(shp2),
-          *[d.reshape(shp2) for d in degs],
-          *[w.astype(jnp.float32).reshape(shp2) for w in wts])
+    # The kernel is traced from deep inside jit -> scan(unroll) -> cond; the
+    # default 1000-frame recursion budget is mostly spent by then and
+    # pallas_call's kernel-to-jaxpr trace blows it (RecursionError inside
+    # jax.util.weakrefs_to_sentinel).  Raising the limit is the same remedy
+    # JAX applies for deep jaxpr work — scoped to the trace and restored
+    # (advisor r4: library code must not leave a process-global behind for
+    # the embedding application).
+    saved_limit = sys.getrecursionlimit()
+    if saved_limit < 20000:
+        sys.setrecursionlimit(20000)
+    try:
+        with jax.enable_x64(False):
+            outs = pl.pallas_call(
+                kern,
+                grid=(nch,),
+                in_specs=[pl.BlockSpec((1, 1), lambda c: (0, 0),
+                                       memory_space=pltpu.SMEM)]
+                         + [blk] * (n_in + 1),
+                out_specs=[blk] * (len(metrics) + 2),
+                out_shape=out_shape,
+                scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                                pltpu.SMEM((max(n_wt, 1),), jnp.float32)],
+                interpret=_interpret(),
+            )(jnp.reshape(min_score.astype(jnp.float32), (1, 1)),
+              flags.reshape(shp2), hi.reshape(shp2), lo.reshape(shp2),
+              *[d.reshape(shp2) for d in degs],
+              *[w.astype(jnp.float32).reshape(shp2) for w in wts])
+    finally:
+        if sys.getrecursionlimit() != saved_limit:
+            sys.setrecursionlimit(saved_limit)
     skeys = jnp.stack([o.reshape(cap) for o in outs[:len(metrics)]])
     return skeys, outs[-2].reshape(cap), outs[-1].reshape(cap)

