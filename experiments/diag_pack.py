@@ -29,7 +29,11 @@ with np.load(cache) as d:
                  degrees=d["degrees"], weights=None,
                  n=int(d["n"]), m=int(d["m"]))
     deletions = d["deletions"]
-k = max(deletions.shape[0] // 2, 1)
+# the ENGINE's selection k, not the raw request: api.py rounds max_edges to
+# a 1024 multiple (round-5 lesson: this script modeled the raw k while the
+# engine used next_pow2(k) — 1.88x more survivors — and reported "engaged"
+# for a cond that was falling back in the real program)
+k = -(-max(deletions.shape[0] // 2, 1) // 1024) * 1024
 plan = build_plan(y, 64)
 stream, ts = plan.device_stream()
 metrics = (METRICS["jaccard_coefficient"],)

@@ -174,7 +174,16 @@ def predict_links_multi(
     # side stream's slots are additional.
     all_slots = (plan.total_slots + plan.huge_slots
                  + (plan.side_plan.total_slots if plan.side_plan else 0))
-    k = _next_pow2(min(max_edges, max(all_slots, 1)))
+    # Selection k: EXACT request, rounded only to a 1024 multiple (jit-shape
+    # bucketing).  The old next_pow2 rounding inflated k up to 1.88x (s21
+    # bench: 2.23M -> 4.19M), which (a) carried ~2x lanes through every
+    # deferred-selection level past L0, and (b) pushed the threshold-pack
+    # sampler to admit ~2x survivors — blowing the per-chunk pack budget at
+    # the bench shapes, so the pack cond silently fell back to the full
+    # blocked sort and the round-4 pack feature measured as pure overhead
+    # (round-5 trace: the 530 ms selection conditional took the fallback arm).
+    k = min(-(-min(max_edges, max(all_slots, 1)) // 1024) * 1024,
+            max(all_slots, 1))
     gd = plan_cache.device_graph(g) if plan_cache is not None else g.device()
     # The stable w-key sort serves both streams whenever ids fit (n <= 2^30);
     # w_bits == 0 selects the sentinel two-key edge sort (set
