@@ -33,7 +33,10 @@ BENCH_STEPS = [
     ("s21_pack0", {"BENCH_SCALE": "21", "LINKPRED_SEL_PACK": "0"}),
     ("s20_default", {"BENCH_SCALE": "20"}),
     ("s22_default", {"BENCH_SCALE": "22"}),
+    ("s22_pack0", {"BENCH_SCALE": "22", "LINKPRED_SEL_PACK": "0"}),
     ("s23_default", {"BENCH_SCALE": "23"}),
+    ("s23_pack0", {"BENCH_SCALE": "23", "LINKPRED_SEL_PACK": "0"}),
+    ("s18_default", {"BENCH_SCALE": "18"}),
 ]
 
 PROBE_STEPS = [

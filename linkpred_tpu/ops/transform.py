@@ -23,6 +23,7 @@ __all__ = [
     "transpose_with_degree",
     "duplicate",
     "duplicate_if",
+    "subgraph",
 ]
 
 
@@ -68,6 +69,45 @@ def transpose_with_degree(g: CSRGraph):
     convenience: ``(gT, out_degree_of_g)`` with ``gT.values is out_degree``."""
     deg = np.asarray(g.host().degrees).copy()
     return transpose(g).with_vertex_values(deg), deg
+
+
+def subgraph(g: CSRGraph, ks) -> CSRGraph:
+    """Induced subgraph over the vertex subset ``ks``: vertices remapped to
+    [0, len(ks)) in ``ks`` order, keeping edges whose BOTH endpoints are in
+    the subset.  Vertex values and edge weights flow through.
+
+    Parity note: this covers the reference's subset CSR builders
+    (``csrCreateDegreesW``/``csrCreateVertexValuesW``/``csrCreateEdgeKeysW``/
+    ``csrCreateEdgeValuesW`` over a ``ks`` vector, `/root/reference/inc/
+    csr.hxx:156-287`).  Those templates are dead code there (no driver calls
+    them), and their edge-keys variant maps out-of-subset TARGETS to id 0 via
+    ``unordered_map::operator[]`` default-insertion (`csr.hxx:244`) — a
+    latent quirk, not a semantic anyone relies on; here the well-defined
+    induced-subgraph contract (drop out-of-subset edges) replaces it.
+    One vectorized pass: a membership/remap table + per-source repeat, no
+    Python loops.
+    """
+    gh = g.host()
+    ks = np.asarray(ks, dtype=np.int64)
+    deg = np.asarray(gh.degrees, dtype=np.int64)
+    offs = np.asarray(gh.offsets, dtype=np.int64)
+    inds = np.asarray(gh.indices, dtype=np.int64)
+    remap = np.full(g.n, -1, dtype=np.int64)
+    remap[ks] = np.arange(ks.shape[0], dtype=np.int64)
+    # expand the subset's adjacency rows (repeat + cumsum addressing)
+    dk = deg[ks]
+    base = np.repeat(offs[ks], dk)
+    step = np.arange(int(dk.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(dk) - dk, dk)
+    adr = base + step
+    dst = inds[adr]
+    src = np.repeat(remap[ks], dk)
+    keep = remap[dst] >= 0
+    w = None if gh.weights is None else np.asarray(gh.weights)[adr][keep]
+    out = from_edges(src[keep], remap[dst[keep]], n=ks.shape[0], weights=w)
+    if gh.values is not None:
+        out = out.with_vertex_values(np.asarray(gh.values)[ks])
+    return out
 
 
 def duplicate(g: CSRGraph) -> CSRGraph:

@@ -200,3 +200,61 @@ def test_vector_ops():
     np.testing.assert_array_equal(np.asarray(multiply_value(x, 2)), [20, 40, 60, 80])
     np.testing.assert_array_equal(
         np.asarray(multiply_values(x, jnp.asarray([1, 0, 1, 0]))), [10, 0, 30, 0])
+
+
+# ---------------------------------------------------------------------------
+# prime helpers (_cmath.hxx:100-146 parity) + subset CSR builder (csr.hxx
+# :156-287 — induced-subgraph contract, see ops.transform.subgraph docstring)
+# ---------------------------------------------------------------------------
+
+def test_prime_helpers():
+    from linkpred_tpu.utils.numeric import is_prime, next_prime, random_prime
+
+    primes = {2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47}
+    for x in range(50):
+        assert is_prime(x) == (x in primes), x
+    assert is_prime(7919) and not is_prime(7917)
+    assert next_prime(1) == 2 and next_prime(13) == 17
+    assert next_prime(7907) == 7919
+    rng = np.random.default_rng(0)
+    p = random_prime(100, 200, rng)
+    assert 100 <= p <= 200 and is_prime(p)
+    # bounded-attempts contract: a prime-free range returns end + 1
+    assert random_prime(24, 28, rng) == 29
+
+
+def test_subgraph_induced(rng):
+    from linkpred_tpu.ops.transform import subgraph
+
+    g = random_graph(rng, 60, 5)
+    g = g.with_vertex_values(np.arange(g.n, dtype=np.float32) * 2.0)
+    ks = np.sort(rng.choice(g.n, size=25, replace=False))
+    s = subgraph(g, ks)
+    assert s.n == 25
+    # degrees/values remap in ks order
+    np.testing.assert_array_equal(np.asarray(s.values),
+                                  np.asarray(g.values)[ks])
+    # edge set == edges of g with both endpoints in ks, remapped
+    remap = {int(v): i for i, v in enumerate(ks)}
+    from linkpred_tpu.graph import edge_list
+    want = {(remap[int(u)], remap[int(v)])
+            for u, v in zip(*edge_list(g))
+            if int(u) in remap and int(v) in remap}
+    got = set(zip(*(np.asarray(a) for a in edge_list(s))))
+    assert {(int(a), int(b)) for a, b in got} == want
+
+
+def test_subgraph_weights(rng):
+    from linkpred_tpu.graph import edge_list
+    from linkpred_tpu.ops.transform import subgraph
+
+    src = np.array([0, 1, 2, 3, 0])
+    dst = np.array([1, 2, 3, 0, 2])
+    w = np.array([10., 20., 30., 40., 50.], dtype=np.float32)
+    g = from_edges(src, dst, n=4, weights=w)
+    s = subgraph(g, [0, 2, 3])
+    es, ed = edge_list(s)
+    pairs = {(int(a), int(b)): float(np.asarray(s.weights)[i])
+             for i, (a, b) in enumerate(zip(es, ed))}
+    # kept: 2->3 (30), 3->0 (40), 0->2 (50); dropped: 0->1, 1->2
+    assert pairs == {(1, 2): 30.0, (2, 0): 40.0, (0, 1): 50.0}
