@@ -501,13 +501,19 @@ def _argselect_packed(key, idx, kk: int):
     return jax.lax.cond(ok, packed_path, fallback)
 
 
-def _argselect(key, idx, kk: int):
+def _argselect(key, idx, kk: int, allow_pack: bool = True):
     """Dispatch: threshold-pack selection where it pays (large buffer, k a
     small fraction), blocked sorts otherwise.  Returns (keys, idx) of
-    length >= kk (callers slice [:kk])."""
+    length >= kk (callers slice [:kk]).
+
+    ``allow_pack=False`` is set by SEGMENTED scans (round-5 measurement: the
+    pack wins only for single-segment selections — s19 +1.8%, s21 +37% —
+    but LOSES 6.5% at the 2-segment s22 (131.7 vs 140.8M edges/s) and its
+    extra pk/pidx buffers tip the ~14 GB-resident s23 into HBM OOM; per-
+    segment packing also pays the sample+pack overhead once per segment)."""
     total = key.shape[0]
     from ..ops.compact import PACK_CHUNK, PACK_RATIO
-    if (_sel_pack_enabled() and total >= _sel_pack_min()
+    if (allow_pack and _sel_pack_enabled() and total >= _sel_pack_min()
             and kk * 4 <= total // PACK_RATIO):
         return _argselect_packed(key, idx, kk)
     return _argselect_blocked(key, idx, kk)
@@ -549,11 +555,12 @@ def _argselect_blocked(key, idx, kk: int):
 
 
 def _select_topk(scores, us, vs, k: int, num_metrics: int,
-                 pre_keyed: bool = False) -> TopK:
+                 pre_keyed: bool = False, allow_pack: bool = True) -> TopK:
     """One deferred-selection pass: descending blocked key sort per metric over
     the flattened lanes; returns [M, k].  ``pre_keyed``: ``scores`` already
     holds ready-made u32 selection keys (the fused Pallas tail emits them with
-    the invalid-lane spread applied), so the key build here drops out."""
+    the invalid-lane spread applied), so the key build here drops out.
+    ``allow_pack``: see `_argselect` (False inside segmented scans)."""
     i32 = jnp.int32
     total = scores.shape[0] * scores.shape[-1]
     us = us.reshape(total)
@@ -564,7 +571,7 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int,
     for i in range(num_metrics):
         flat = scores[:, i, :].reshape(total)
         if pre_keyed:
-            skey, idx = _argselect(flat, iota, kk)
+            skey, idx = _argselect(flat, iota, kk, allow_pack)
             top = idx[:kk]
             dec = _desc_key_score(skey[:kk])
             out_s.append(jnp.where(jnp.isnan(dec), -jnp.inf, dec))
@@ -588,7 +595,7 @@ def _select_topk(scores, us, vs, k: int, num_metrics: int,
         key = jnp.where(jnp.isneginf(flat),
                         key | (iota & jnp.int32(0x7FFFFE)).astype(jnp.uint32),
                         key)
-        skey, idx = _argselect(key, iota, kk)
+        skey, idx = _argselect(key, iota, kk, allow_pack)
         top = idx[:kk]
         dec = _desc_key_score(skey[:kk])
         # spread invalid-lane keys decode to NaN (0xFF80xxxx); restore the
@@ -696,8 +703,10 @@ def scan_tiles(
         s_ts, s_te = bounds
         _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te),
                                            unroll=unroll)
+        # allow_pack=False: measured round 5 — per-segment packing loses
+        # (s22 -6.5%) and its extra buffers OOM the HBM-resident s23
         return carry, _select_topk(scores, us, vs, kk, num_metrics,
-                                   pre_keyed=fused)
+                                   pre_keyed=fused, allow_pack=False)
 
     _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
     return _merge_stacked(tops, k)
