@@ -47,9 +47,12 @@ __all__ = ["pack_survivors", "sample_threshold", "PACK_CHUNK", "PACK_RATIO"]
 # Chunk/budget sizing: survivors CLUSTER in hub tiles (measured at the s21
 # bench shape: global survivors 1.29x k, but the worst 2^17-lane chunk held
 # 23.9k survivors = 18% of its lanes — chunk/8 budgets overflowed and the
-# cond fell back).  Bigger windows pool the slack: a 2^18-lane chunk with a
-# chunk/4 budget tolerates 25% local clustering.  Env-overridable for A/Bs.
-PACK_CHUNK = 1 << int(os.environ.get("LINKPRED_PACK_CHUNK_LOG2", "18"))
+# cond fell back).  Bigger windows pool the slack: a 2^19-lane chunk with a
+# chunk/4 budget tolerates 25% local clustering over half a tile — the r5
+# campaign measured the 2^18 budget ONE chunk over at s22 (worst 72,523 vs
+# 65,536, diag_pack), silently falling back; at 2^19 every bench scale fits
+# (s19 38k, s21 47k, s22 ~73k+neighbor < 131k).  Env-overridable for A/Bs.
+PACK_CHUNK = 1 << int(os.environ.get("LINKPRED_PACK_CHUNK_LOG2", "19"))
 PACK_RATIO = int(os.environ.get("LINKPRED_PACK_RATIO", "4"))
 _ROWS = PACK_CHUNK // 128
 
@@ -175,13 +178,13 @@ def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
                                             jnp.uint32),
                        jax.ShapeDtypeStruct((nch * out_rows, 128),
                                             jnp.int32)],
-            # headroom over Mosaic's 16 MB default: the 18-step routing
+            # headroom over Mosaic's 16 MB default: the ~19-step routing
             # unroll's temporaries are at the compiler's scheduling mercy,
             # and one borderline schedule already cost a bench config (the
             # chip's physical VMEM comfortably exceeds this; the bitonic
             # probes ran at 100 MB on this host)
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=24 * 1024 * 1024),
+                vmem_limit_bytes=48 * 1024 * 1024),
             interpret=interpret,
         )(jnp.reshape(threshold.astype(jnp.uint32), (1, 1)),
           key.reshape(rows * nch, 128))
@@ -194,11 +197,17 @@ def pack_survivors(key, threshold, chunk: int = None, ratio: int = None):
 
 
 def sample_threshold(key, kk: int, sample_log2: int = 20,
-                     margin: float = 1.25):
+                     margin: float = 1.10):
     """Sampled k-quantile threshold: T such that count(key <= T) >= kk with
     high probability.  Strided sample (cheap slice, no gather), 1-operand
     sort, quantile at kk/total inflated by ``margin`` plus a 4-sigma
-    binomial sampling allowance.  Returns (T, q) — q only for tests."""
+    binomial sampling allowance.  Returns (T, q) — q only for tests.
+
+    ``margin`` 1.10 (was 1.25): with 2^20 samples the 4-sigma binomial term
+    already covers the global-undershoot risk (~1e-4 relative), and every
+    extra survivor tightens the PER-CHUNK budget — at s22 the 1.25 margin's
+    worst chunk sat 0.4% over budget (131,594 vs 131,072, diag_pack) and
+    silently cond-fell-back; at 1.10 every bench scale fits with room."""
     total = key.shape[0]
     n_s = min(1 << sample_log2, total)
     stride = total // n_s
