@@ -16,8 +16,8 @@ seconds to wait for the TPU to come back after a relay outage, default 2400).
 Scale default: RMAT-19.  Larger R-MATs skew harder, so the LHub hub-skip
 removes more of the expansion — exactly the regime the reference's sk-2005
 headline measures (web-crawl skew, best-F1 threshold).  Full scale sensitivity
-is tabled in STATUS.md (measured r2, adaptive cap: s18 50.8M, s19 134.5M,
-s20 74.2M, s21 37.4M edges/s); set BENCH_SCALE to reproduce any row.
+is tabled in STATUS.md (round-5 engine: s19 220.2M, s20 151.3M, s21 129.3M
+edges/s, medians of 3); set BENCH_SCALE to reproduce any row.
 """
 from __future__ import annotations
 

@@ -699,14 +699,19 @@ def scan_tiles(
     te = jnp.concatenate([tile_end, jnp.zeros((pad,), i32)]).reshape(n_seg, seg)
     kk = min(k, seg * cap)
 
+    # Segmented scans default to pack-off: the pack's pk/pidx buffers sit on
+    # top of an already HBM-heavy regime (the 9.2 GB s23 stream OOMed with
+    # them, ran clean without).  LINKPRED_SEL_PACK_SEG=1 opts segments in
+    # (A/B: pair with a smaller LINKPRED_SEG_LANES so the per-segment raw
+    # buffer shrinks by more than the pack buffers add).
+    seg_pack = _os.environ.get("LINKPRED_SEL_PACK_SEG", "0") == "1"
+
     def seg_body(carry, bounds):
         s_ts, s_te = bounds
         _, (scores, us, vs) = jax.lax.scan(body, 0, (s_ts, s_te),
                                            unroll=unroll)
-        # allow_pack=False: measured round 5 — per-segment packing loses
-        # (s22 -6.5%) and its extra buffers OOM the HBM-resident s23
         return carry, _select_topk(scores, us, vs, kk, num_metrics,
-                                   pre_keyed=fused, allow_pack=False)
+                                   pre_keyed=fused, allow_pack=seg_pack)
 
     _, tops = jax.lax.scan(seg_body, 0, (ts, te))  # [S, M, kk] per leaf
     return _merge_stacked(tops, k)
