@@ -346,3 +346,46 @@ def test_native_lib_rebuilds_stale_so(tmp_path, monkeypatch):
     monkeypatch.setattr(native_mod, "_tried", False)
     lib = native_mod.native_lib()
     assert lib is not None and hasattr(lib, "lp_plan_firsthop")
+
+
+def test_segmented_selection_with_pack_optin_exact(rng, monkeypatch):
+    """LINKPRED_SEL_PACK_SEG=1 routes SEGMENTED selections through the
+    threshold-pack path (default off — round-5 measurement; the env is the
+    A/B opt-in).  Exactness must hold either way: same score multiset and
+    same above-cutoff pairs as the one-pass selection."""
+    import linkpred_tpu.predict.scoring as scoring_mod
+
+    g = random_graph(rng, n=2000, avg_deg=10)
+    plan = build_plan(g, 32, cap=128)
+    seg_lanes, max_edges = 16384, 800          # k rounds up to 1024
+    assert plan.num_tiles_padded * 128 > 2 * seg_lanes, ">= 2 segments"
+    res_one = predict_links(g, metric="jaccard_coefficient", min_degree1=32,
+                            options=PredictOptions(max_edges=max_edges),
+                            plan=plan)
+    monkeypatch.setattr(scoring_mod, "SEG_LANES", seg_lanes)
+    monkeypatch.setenv("LINKPRED_SEL_PACK_SEG", "1")
+    # lower the engagement floor so the per-segment buffers take the packed
+    # dispatch, and ASSERT the static dispatch condition so this test can't
+    # silently degrade to blocked-only coverage
+    monkeypatch.setenv("LINKPRED_SEL_PACK_MIN", "512")
+    import linkpred_tpu.ops.compact as compact_mod
+    monkeypatch.setattr(compact_mod, "PACK_CHUNK", 4096)
+    monkeypatch.setattr(compact_mod, "PACK_RATIO", 4)
+    kk = min(1024, seg_lanes)
+    assert seg_lanes >= 512 and kk * 4 <= seg_lanes // 4, \
+        "premise: packed dispatch engages for the per-segment selection"
+    scoring_mod.score_tiles.clear_cache()
+    try:
+        res_seg = predict_links(g, metric="jaccard_coefficient", min_degree1=32,
+                                options=PredictOptions(max_edges=max_edges),
+                                plan=plan)
+    finally:
+        scoring_mod.score_tiles.clear_cache()
+    assert len(res_seg) == len(res_one) > 0
+    np.testing.assert_array_equal(res_seg.score, res_one.score)
+    cutoff = res_one.score[-1]
+    one = {(int(u), int(v)) for u, v, s in zip(res_one.u, res_one.v,
+                                               res_one.score) if s > cutoff}
+    seg = {(int(u), int(v)) for u, v, s in zip(res_seg.u, res_seg.v,
+                                               res_seg.score) if s > cutoff}
+    assert one == seg and len(one) > 0
