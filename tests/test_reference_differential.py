@@ -167,8 +167,9 @@ def test_precision_recall_rows_match_reference(ref_driver, tmp_path, rng):
         assert abs(common_o - common_t) <= ties
 
 
+@pytest.mark.parametrize("key64", [True, False])
 def test_full_engine_scale_matches_reference(ref_driver, tmp_path, rng,
-                                             monkeypatch):
+                                             monkeypatch, key64):
     """Round-4 verdict #5: a differential run at a scale where the ENGINE'S
     FULL machinery engages at once against the compiled reference — not a toy
     fixture.  The constructed graph forces, in ONE predict pass:
@@ -237,7 +238,8 @@ def test_full_engine_scale_matches_reference(ref_driver, tmp_path, rng,
         # --- run 1: FULL prediction set, per-pair score parity --------------
         res = predict_links_multi(
             g, ("jaccard_coefficient", "adamic_adar"), min_degree1=64,
-            options=PredictOptions(max_edges=10_000_000), plan=plan)
+            options=PredictOptions(max_edges=10_000_000), plan=plan,
+            key64=key64)
         for token, name in (("jaccard", "jaccard_coefficient"),
                             ("aa", "adamic_adar")):
             ours = our_rows(res[name])
@@ -262,7 +264,7 @@ def test_full_engine_scale_matches_reference(ref_driver, tmp_path, rng,
             "premise: _argselect statically dispatches to the packed path"
         res_k = predict_links_multi(
             g, ("jaccard_coefficient",), min_degree1=64,
-            options=PredictOptions(max_edges=k), plan=plan)
+            options=PredictOptions(max_edges=k), plan=plan, key64=key64)
         ours_k = our_rows(res_k["jaccard_coefficient"])
         theirs_k = ref_predict(ref_driver, mtx, n, "jaccard", 64,
                                max(min(k, len(ours_k)), 1))
