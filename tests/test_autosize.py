@@ -57,3 +57,26 @@ def test_zero_budget_still_forces_edge_stream(rng):
     assert not p0.packed
     pauto = build_plan(g, 0, cap=2048)
     assert pauto.packed  # tiny plan, any sane auto budget covers it
+
+
+def test_stream_padding_bucket_and_budget_accounting(rng):
+    """Round-5 regression: stream arrays pad to a 4-bit-mantissa bucket
+    (<= 9/8 of the request; pow2 padding could DOUBLE memory and OOMed an
+    IHub s16 plan), and the packed decision prices the PADDED demand — a
+    budget below it must flip the plan to the edge stream."""
+    from conftest import random_graph
+    from linkpred_tpu.predict.plan import _pad_bucket, build_plan
+
+    for x in range(8, 4097):
+        b = _pad_bucket(x)
+        assert x <= b <= -(-9 * x) // 8, (x, b)
+
+    g = random_graph(rng, 300, 8)
+    p = build_plan(g, 0, cap=256, slot_budget=10**9)   # IHub, ample budget
+    assert p.packed
+    kept = p.total_slots
+    # padded allocation bounded by the bucket guarantee
+    assert p.slot_w.shape[0] <= -(-9 * (kept + 256)) // 8
+    # a budget below the padded demand must refuse to materialize the stream
+    p_edge = build_plan(g, 0, cap=256, slot_budget=kept // 2)
+    assert not p_edge.packed and p_edge.slot_w is None
